@@ -1,0 +1,87 @@
+"""Spherical-harmonics evaluation, degrees 0..3.
+
+Same basis and constants as the reference (utils/sh_utils.py:26-117 and
+cuda_rasterizer/forward.cu:25-76): real SH with the 3DGS sign conventions,
+a +0.5 offset, and clamping of negative colors to zero.
+
+All functions are batched over the leading axis and jit/vmap friendly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+      -1.0925484305920792, 0.5462742152960396)
+C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+      0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+      -0.5900435899266435)
+
+# number of SH coefficients for degree d
+NUM_COEFFS = {0: 1, 1: 4, 2: 9, 3: 16}
+
+
+def rgb_to_sh(rgb):
+    """DC color -> SH coefficient (reference utils/sh_utils.py RGB2SH)."""
+    return (rgb - 0.5) / C0
+
+
+def sh_to_rgb(sh):
+    """SH DC coefficient -> color (reference utils/sh_utils.py SH2RGB)."""
+    return sh * C0 + 0.5
+
+
+def eval_sh(deg: int, sh, dirs):
+    """Evaluate SH at unit directions.
+
+    Args:
+      deg: static degree 0..3.
+      sh: [..., K, 3] coefficients with K >= NUM_COEFFS[deg].
+      dirs: [..., 3] unit directions.
+
+    Returns [..., 3] raw colors (no +0.5 offset, no clamp) — matching the
+    reference's eval_sh; use `sh_color` for the rasterizer semantics.
+    """
+    result = C0 * sh[..., 0, :]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = (result
+                  - C1 * y * sh[..., 1, :]
+                  + C1 * z * sh[..., 2, :]
+                  - C1 * x * sh[..., 3, :])
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (result
+                      + C2[0] * xy * sh[..., 4, :]
+                      + C2[1] * yz * sh[..., 5, :]
+                      + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+                      + C2[3] * xz * sh[..., 7, :]
+                      + C2[4] * (xx - yy) * sh[..., 8, :])
+            if deg > 2:
+                result = (result
+                          + C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
+                          + C3[1] * xy * z * sh[..., 10, :]
+                          + C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
+                          + C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
+                          + C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
+                          + C3[5] * z * (xx - yy) * sh[..., 14, :]
+                          + C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :])
+    return result
+
+
+def sh_color(deg: int, sh, means, campos):
+    """SH -> clamped RGB as the rasterizer computes it.
+
+    Mirrors computeColorFromSH (reference forward.cu:25-76): view direction
+    from the camera to the (possibly LOD-interpolated) mean, +0.5 offset,
+    clamp at zero. The clamp is part of the differentiable graph, so
+    autodiff reproduces the reference's `clamped` masking in backward.cu.
+    """
+    dirs = means - campos
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)

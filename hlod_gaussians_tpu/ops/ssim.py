@@ -1,0 +1,67 @@
+"""Image losses: L1, SSIM (11x11 Gaussian window), PSNR.
+
+Same math as the reference (utils/loss_utils.py:17-63, utils/image_utils.py:15-19):
+SSIM with an 11-tap sigma-1.5 separable Gaussian window, per-channel depthwise
+convolution, C1=0.01^2, C2=0.03^2. The separable conv lowers to two small
+convolutions that XLA fuses; on TPU this replaces the reference's
+`fused_ssim` CUDA extension (train_post.py:29).
+
+Images are [C, H, W] float in [0, 1] (channel-first like the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(a, b):
+    return jnp.abs(a - b).mean()
+
+
+def psnr(img1, img2):
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+@functools.lru_cache()
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return g / g.sum()
+
+
+def _blur(img, window):
+    """Separable depthwise Gaussian blur of [C, H, W] with SAME padding."""
+    c = img.shape[0]
+    k = window.shape[0]
+    x = img[None]  # [1, C, H, W]
+    kh = jnp.tile(window.reshape(1, 1, k, 1), (c, 1, 1, 1))
+    kw = jnp.tile(window.reshape(1, 1, 1, k), (c, 1, 1, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(k // 2, k // 2), (0, 0)],
+                                     dimension_numbers=dn, feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (k // 2, k // 2)],
+                                     dimension_numbers=dn, feature_group_count=c)
+    return x[0]
+
+
+def ssim(img1, img2, window_size: int = 11):
+    """Mean SSIM over a [C, H, W] image pair (reference utils/loss_utils.py:38-63)."""
+    window = _gaussian_window(window_size)
+    mu1 = _blur(img1, window)
+    mu2 = _blur(img2, window)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    return ssim_map.mean()
