@@ -62,8 +62,10 @@ def transform_points(points, mat4):
     """
     hom = points @ mat4[:3, :] + mat4[3, :]
     w = hom[..., 3:4]
-    inv_w = 1.0 / (w + 1e-7)
-    return hom[..., :3] * inv_w, w[..., 0]
+    # sign-safe guard: |w| ~ 0 rows are culled later, but must stay finite so
+    # their NaNs can't poison backward accumulators shared across rows.
+    w_safe = jnp.where(jnp.abs(w) < 1e-7, 1e-7, w)
+    return hom[..., :3] / w_safe, w[..., 0]
 
 
 def transform_points_3x4(points, mat4):
@@ -78,7 +80,10 @@ def compute_cov2d(mean, cov6, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy):
     Returns [...,3] packed (cxx, cxy, cyy), WITHOUT the +dilation term.
     """
     t = transform_points_3x4(mean, viewmatrix)
+    # near-zero-depth rows are culled downstream; keep the math finite here
+    # (0/0 would create NaNs that leak through zero cotangents in backward).
     tz = t[..., 2]
+    tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
@@ -178,5 +183,14 @@ def project_gaussians(
     # propagate radius=0 for invalid rows.
     radius = jnp.where(valid, radius, 0.0).astype(jnp.int32)
     valid = valid & (radius > 0)
+
+    # Sanitize culled rows. They never contribute to the image, but their
+    # values are still gathered by binning padding entries and would turn the
+    # tile-shared transmittance chain NaN in backward (0 * NaN = NaN).
+    v1 = valid[..., None]
+    xy = jnp.where(v1, xy, 0.0)
+    conic = jnp.where(v1, conic, jnp.asarray([1.0, 0.0, 1.0], conic.dtype))
+    depth = jnp.where(valid, depth, 1.0)
+    opacity = jnp.where(valid, opacity, 0.0)
     return Projection(xy=xy, depth=depth, conic=conic, opacity=opacity,
                       radius=radius, valid=valid)

@@ -83,5 +83,8 @@ def sh_color(deg: int, sh, means, campos):
     autodiff reproduces the reference's `clamped` masking in backward.cu.
     """
     dirs = means - campos
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    # eps inside the sqrt keeps the gradient finite when means == campos
+    # (dead capacity-padding rows sit at the origin).
+    norm = jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
+    dirs = dirs / norm
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)

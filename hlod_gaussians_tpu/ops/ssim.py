@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def l1_loss(a, b):
@@ -28,9 +29,10 @@ def psnr(img1, img2):
 
 @functools.lru_cache()
 def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
-    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
-    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    return g / g.sum()
+    # numpy so the cached constant is never a leaked tracer
+    x = np.arange(window_size, dtype=np.float32) - window_size // 2
+    g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return jnp.asarray(g / g.sum())
 
 
 def _blur(img, window):
