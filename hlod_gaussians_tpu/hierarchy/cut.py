@@ -1,0 +1,224 @@
+"""Granularity-driven LOD cuts + interpolation weights.
+
+TPU re-design of the gaussianhierarchy runtime cut kernels
+(runtime_switching.cu): the per-node CUDA kernels with parent gathers become
+dense masked array ops over the flat node table — one gather per relation,
+no pointer chasing. Both variants are provided:
+
+* box-based (upstream ``expandToSize`` / ``computeTsIndexed``,
+  runtime_switching.cu:495-684): projected size = longest-AABB-side /
+  distance(viewpoint, box), infinite inside the box;
+* dynamic (fork ``expandToSizeDynamic`` / ``computeTsIndexedDynamic``,
+  runtime_switching.cu:222-233,533-582,640-684): size = max(scale) /
+  distance(viewpoint, position), with the crude dot-product frustum test
+  (``is_in_frustum``, runtime_switching.cu:165-187).
+
+All functions return dense per-node values + boolean masks (static shapes);
+callers compact with `jnp.nonzero(..., size=budget)` when an index list is
+needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hlod_gaussians_tpu.models.gaussians import (
+    NODE_CHILD_COUNT, NODE_DEPTH, NODE_PARENT)
+
+
+def node_size_dynamic(pos, max_scale, viewpoint):
+    """Projected size metric (computeSizeGPUDynamic,
+    runtime_switching.cu:222-233): max(scale) / ||viewpoint - pos||."""
+    dist = jnp.linalg.norm(viewpoint - pos, axis=-1)
+    return max_scale / jnp.maximum(dist, 1e-12)
+
+
+def node_size_box(box_lo, box_hi, max_side, viewpoint):
+    """Upstream box metric (computeSizeGPU, runtime_switching.cu:210-219):
+    max_side / distance(viewpoint, box); +inf when inside the box."""
+    closest = jnp.clip(viewpoint, box_lo, box_hi)
+    dist = jnp.linalg.norm(viewpoint - closest, axis=-1)
+    inside = dist <= 0.0
+    return jnp.where(inside, jnp.inf, max_side / jnp.maximum(dist, 1e-12))
+
+
+def in_frustum_crude(pos, viewpoint, zdir):
+    """Crude frustum test (is_in_frustum, runtime_switching.cu:165-187):
+    keep the node when the cosine between normalize(viewpoint - pos) and the
+    camera forward axis is < -0.5 (i.e. the point is roughly in front)."""
+    diff = viewpoint - pos
+    norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    ndiff = diff / jnp.maximum(norm, 1e-12)
+    cos_angle = jnp.sum(ndiff * zdir, axis=-1)
+    return cos_angle < -0.5
+
+
+def frustum_planes(full_proj):
+    """Extract the 4 side frustum planes from a row-vector view-projection
+    matrix (reference extract_frustum_planes, scene/gaussian_model.py:55-78).
+
+    Returns [4,4] plane coefficients (a,b,c,d), normalized, for
+    left/right/bottom/top; a point p is inside when dot(plane, [p,1]) >= 0.
+    """
+    m = full_proj.T  # column-vector convention rows
+    planes = jnp.stack([
+        m[3] + m[0],   # left
+        m[3] - m[0],   # right
+        m[3] + m[1],   # bottom
+        m[3] - m[1],   # top
+    ])
+    n = jnp.linalg.norm(planes[:, :3], axis=-1, keepdims=True)
+    return planes / jnp.maximum(n, 1e-12)
+
+
+def sphere_in_frustum(pos, radius, planes):
+    """Sphere-vs-4-plane test (reference scene/gaussian_model.py:80-103)."""
+    d = pos @ planes[:, :3].T + planes[None, :, 3]   # [N,4]
+    return jnp.all(d >= -radius[:, None], axis=-1)
+
+
+class CutResult(NamedTuple):
+    render_mask: jnp.ndarray   # [C] bool — node is in the cut
+    size: jnp.ndarray          # [C] projected size per node
+    ts: jnp.ndarray            # [C] interpolation weight (valid where mask)
+    kids: jnp.ndarray          # [C] int32 number of siblings
+
+
+@functools.partial(jax.jit, static_argnames=("use_frustum",))
+def expand_to_size_dynamic(
+    nodes: jnp.ndarray,       # [C,6] int32
+    pos: jnp.ndarray,         # [C,3]
+    max_scale: jnp.ndarray,   # [C]
+    alive: jnp.ndarray,       # [C] bool
+    viewpoint: jnp.ndarray,   # [3]
+    zdir: jnp.ndarray,        # [3] camera forward (world space)
+    target_size,
+    *,
+    use_frustum: bool = True,
+) -> CutResult:
+    """Dynamic hierarchy cut + interpolation weights in one pass
+    (markNodesForSizeDynamic runtime_switching.cu:533-582 +
+    computeTsIndexedDynamic :640-684)."""
+    c = nodes.shape[0]
+    parent = nodes[:, NODE_PARENT]
+    has_parent = parent >= 0
+    parent_c = jnp.clip(parent, 0, c - 1)
+
+    size = node_size_dynamic(pos, max_scale, viewpoint)
+    parent_size = jnp.where(has_parent, size[parent_c], jnp.inf)
+
+    is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
+    not_skybox = nodes[:, NODE_DEPTH] >= 0
+
+    mask = alive & not_skybox
+    if use_frustum:
+        mask = mask & in_frustum_crude(pos, viewpoint, zdir)
+    sel = (size >= target_size) & is_leaf
+    sel = sel | (has_parent & (parent_size >= target_size) & (size < target_size))
+    mask = mask & sel
+
+    # interpolation weight (computeTsIndexedDynamic)
+    start = jnp.maximum(0.5 * parent_size, size)
+    diff = parent_size - start
+    tdiff = jnp.maximum(0.0, target_size - start)
+    t_inner = jnp.where(diff <= 0, 1.0,
+                        jnp.maximum(1.0 - tdiff / jnp.where(diff <= 0, 1.0, diff),
+                                    0.0))
+    ts = jnp.where(~has_parent | (parent_size > 2.0 * target_size), 1.0, t_inner)
+
+    kids = jnp.where(has_parent, nodes[parent_c, NODE_CHILD_COUNT], 1)
+    kids = jnp.maximum(kids, 1).astype(jnp.int32)
+    return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
+
+
+@jax.jit
+def expand_to_size_box(
+    nodes: jnp.ndarray,      # [C,6]
+    box_lo: jnp.ndarray, box_hi: jnp.ndarray, max_side: jnp.ndarray,
+    alive: jnp.ndarray,
+    viewpoint: jnp.ndarray,
+    target_size,
+) -> CutResult:
+    """Upstream box-metric cut (markNodesForSize runtime_switching.cu:495-529
+    + computeTsIndexed :588-637)."""
+    c = nodes.shape[0]
+    parent = nodes[:, NODE_PARENT]
+    has_parent = parent >= 0
+    parent_c = jnp.clip(parent, 0, c - 1)
+
+    size = node_size_box(box_lo, box_hi, max_side, viewpoint)
+    parent_size = jnp.where(has_parent, size[parent_c], jnp.inf)
+
+    is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
+    sel = (size >= target_size) & is_leaf
+    sel = sel | (has_parent & (parent_size >= target_size) & (size < target_size))
+    mask = alive & sel
+
+    start = jnp.maximum(0.5 * parent_size, size)
+    diff = parent_size - start
+    tdiff = jnp.maximum(0.0, target_size - start)
+    t_inner = jnp.where(diff <= 0, 1.0,
+                        jnp.maximum(1.0 - tdiff / jnp.where(diff <= 0, 1.0, diff),
+                                    0.0))
+    ts = jnp.where(~has_parent | (parent_size > 2.0 * target_size), 1.0, t_inner)
+    kids = jnp.where(has_parent, nodes[parent_c, NODE_CHILD_COUNT], 1)
+    kids = jnp.maximum(kids, 1).astype(jnp.int32)
+    return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
+
+
+def is_hierarchy_cut(nodes, mask, alive) -> jnp.ndarray:
+    """True iff `mask` selects a proper cut: every alive leaf has EXACTLY one
+    selected ancestor-or-self (reference is_hierarchy_cut semantics,
+    scene/gaussian_model.py:348-350). Level-synchronous ancestor count."""
+    c = nodes.shape[0]
+    parent = nodes[:, NODE_PARENT]
+    count = mask.astype(jnp.int32)
+    cur = jnp.arange(c, dtype=jnp.int32)
+    max_depth = int(jnp.max(nodes[:, NODE_DEPTH])) if nodes.shape[0] else 0
+
+    for _ in range(max_depth):
+        nxt = jnp.where(cur >= 0, parent[jnp.clip(cur, 0, c - 1)], -1)
+        count = count + jnp.where(nxt >= 0, mask[jnp.clip(nxt, 0, c - 1)], False
+                                  ).astype(jnp.int32)
+        cur = nxt
+
+    is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
+    relevant = alive & is_leaf & (nodes[:, NODE_DEPTH] >= 0)
+    return jnp.all(jnp.where(relevant, count == 1, True))
+
+
+def interpolate_with_parents(
+    params: dict,              # activated: means3d, scales, quats, opacities, shs
+    render_idx: jnp.ndarray,   # [M] node indices (padded)
+    parent_idx: jnp.ndarray,   # [M] parent node indices (root: any, t=1)
+    ts: jnp.ndarray,           # [M]
+) -> dict:
+    """Python-interp semantics of render_post
+    (gaussian_renderer/__init__.py:304-339): child/parent lerp of mean,
+    scale, opacity, SH; rotation lerped after a sign fix (dot < 0 flips the
+    parent quaternion). Returns gathered+interpolated arrays of length M."""
+    t = ts[:, None]
+    ti = 1.0 - t
+
+    def lerp(x):
+        extra = (1,) * (x.ndim - 2)
+        tt = t.reshape(t.shape + extra)
+        return tt * x[render_idx] + (1.0 - tt) * x[parent_idx]
+
+    means = lerp(params["means3d"])
+    scales = lerp(params["scales"])
+    opac = ts * params["opacities"][render_idx] + (1 - ts) * params["opacities"][parent_idx]
+    shs = lerp(params["shs"])
+
+    q_child = params["quats"][render_idx]
+    q_parent = params["quats"][parent_idx]
+    dots = jnp.sum(q_child * q_parent, axis=-1, keepdims=True)
+    q_parent = jnp.where(dots < 0, -q_parent, q_parent)
+    quats = t * q_child + ti * q_parent  # renderer normalizes
+
+    return dict(means3d=means, scales=scales, quats=quats, opacities=opac,
+                shs=shs)

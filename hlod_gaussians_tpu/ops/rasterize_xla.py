@@ -47,7 +47,7 @@ def lod_alpha(my_alpha, t, inv_kids):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_w", "tile_h", "k_max", "t_eps",
-                     "alpha_min"))
+                     "alpha_min", "remat_chunk"))
 def rasterize_scan(
     bins: TileBins,
     xy: jnp.ndarray,          # [N,2] pixel-space means
@@ -61,6 +61,7 @@ def rasterize_scan(
     *,
     width: int, height: int, tile_w: int, tile_h: int, k_max: int,
     t_eps: float = 1e-4, alpha_min: float = 1.0 / 255.0,
+    remat_chunk: int = 32,
 ) -> RenderOut:
     n = xy.shape[0]
     gw, gh = tile_grid(width, height, tile_w, tile_h)
@@ -132,8 +133,22 @@ def rasterize_scan(
         jnp.zeros((num_tiles, p), jnp.int32),
         jnp.zeros((n,), bool),
     )
+    # Chunked scan with rematerialization: autodiff through a flat k_max-step
+    # scan would store O(k_max) per-step [tiles, pixels] residuals (tens of GB
+    # at 1080p). Grouping `remat_chunk` entries per outer step and
+    # checkpointing the group bounds stored state to O(k_max / remat_chunk)
+    # outer carries; inner steps are recomputed in backward — the same
+    # trade the reference CUDA backward makes by re-traversing the tile list
+    # (backward.cu:498-721).
+    chunk = max(1, min(remat_chunk, k_max))
+    n_chunks = -(-k_max // chunk)
+
+    def chunk_step(carry, k0):
+        return jax.lax.scan(step, carry, k0 + jnp.arange(chunk, dtype=jnp.int32))
+
     (t_run, done, acc, last_contrib, seen), _ = jax.lax.scan(
-        step, init, jnp.arange(k_max, dtype=jnp.int32))
+        jax.checkpoint(chunk_step), init,
+        jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
 
     out4 = acc + t_run[:, :, None] * jnp.concatenate([bg, jnp.zeros(1)])[None, None, :]
 

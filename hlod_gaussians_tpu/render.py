@@ -110,6 +110,95 @@ def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(c, h, w)
 
 
+def tau_to_threshold(tau, tan_fovx, width: int):
+    """Pixel granularity tau -> world-size-per-distance threshold
+    (reference render_hierarchy.py:56)."""
+    return (2.0 * (tau + 0.5)) * tan_fovx / (0.5 * width)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "cfg", "k_max",
+                     "antialiasing", "budget", "n_skybox", "use_frustum"))
+def render_lod(
+    means3d, scales, quats, opacities, shs,   # activated arrays [C,...]
+    nodes, alive,
+    world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+    target_size,
+    *,
+    sh_degree: int, width: int, height: int,
+    budget: int,                 # static capacity of the cut (padded)
+    n_skybox: int = 0,
+    cfg: RasterizerConfig = RasterizerConfig(),
+    k_max: int = 1024,
+    antialiasing: bool = False,
+    use_frustum: bool = True,
+):
+    """Hierarchical LOD render: granularity cut -> parent interpolation ->
+    rasterize with in-kernel LOD alpha correction.
+
+    One jitted pipeline fusing the reference's expand_to_size_dynamic +
+    get_interpolation_weights_dynamic + render_post(interp_python=True)
+    call chain (render_hierarchy.py:32-120, runtime_switching.cu:533-684,
+    gaussian_renderer/__init__.py:241-401). The cut is compacted into a
+    static `budget`-sized index set; overflow beyond the budget drops the
+    smallest-size nodes' entries (detectable via n_selected output).
+
+    Returns (RenderResult, n_selected).
+    """
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+
+    c = means3d.shape[0]
+    max_scale = jnp.max(scales, axis=-1)
+    # camera forward axis in world space: third column of the world->view
+    # linear block (row-vector convention)
+    zdir = world_view[:3, 2]
+    cut = cut_mod.expand_to_size_dynamic(
+        nodes, means3d, max_scale, alive, campos, zdir, target_size,
+        use_frustum=use_frustum)
+
+    mask = cut.render_mask
+    n_selected = jnp.sum(mask)
+    idx = jnp.nonzero(mask, size=budget, fill_value=c)[0].astype(jnp.int32)
+    sel_valid = idx < c
+    idx_c = jnp.clip(idx, 0, c - 1)
+
+    parent = jnp.clip(nodes[idx_c, 1], 0, c - 1)  # NODE_PARENT
+    ts_sel = cut.ts[idx_c]
+    kids_sel = cut.kids[idx_c]
+
+    params = dict(means3d=means3d, scales=scales, quats=quats,
+                  opacities=opacities, shs=shs)
+    interp = cut_mod.interpolate_with_parents(params, idx_c, parent, ts_sel)
+
+    if n_skybox > 0:
+        sky = jnp.arange(n_skybox, dtype=jnp.int32)
+        def cat(a, b):
+            return jnp.concatenate([a, b], axis=0)
+        means_r = cat(means3d[sky], interp["means3d"])
+        scales_r = cat(scales[sky], interp["scales"])
+        quats_r = cat(quats[sky], interp["quats"])
+        opac_r = cat(opacities[sky], interp["opacities"])
+        shs_r = cat(shs[sky], interp["shs"])
+        valid_r = cat(alive[sky], sel_valid)
+        ts_r = cat(jnp.ones((n_skybox,)), ts_sel)
+        kids_r = cat(jnp.ones((n_skybox,), jnp.int32), kids_sel)
+    else:
+        means_r, scales_r, quats_r = interp["means3d"], interp["scales"], interp["quats"]
+        opac_r, shs_r, valid_r = interp["opacities"], interp["shs"], sel_valid
+        ts_r, kids_r = ts_sel, kids_sel
+
+    quats_r = quats_r / jnp.linalg.norm(quats_r, axis=-1, keepdims=True).clip(1e-12)
+
+    out = render_arrays(
+        means_r, scales_r, quats_r, opac_r, shs_r, valid_r,
+        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+        ts_r, kids_r, None,
+        sh_degree=sh_degree, width=width, height=height, cfg=cfg,
+        k_max=k_max, antialiasing=antialiasing, use_lod=True)
+    return out, n_selected
+
+
 def render(gaussian_arrays, camera: Camera, bg, *, sh_degree: int,
            cfg: RasterizerConfig = RasterizerConfig(), k_max: int = 1024,
            antialiasing: bool = False) -> RenderResult:

@@ -1,0 +1,198 @@
+"""LOD cut + interpolation weight tests: cut correctness (proper-cut
+invariant at every granularity), weight formula parity, LOD render smoke."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hlod_gaussians_tpu import render as render_mod
+from hlod_gaussians_tpu.config import RasterizerConfig
+from hlod_gaussians_tpu.hierarchy import build as hb, cut as hc
+from hlod_gaussians_tpu.models.gaussians import (
+    NODE_CHILD_COUNT, NODE_PARENT)
+from hlod_gaussians_tpu.utils import camera as cam_mod
+from tests.test_hierarchy_build import random_gaussians
+
+
+def build_test_hierarchy(n=33, seed=0):
+    args = random_gaussians(n, seed=seed)
+    return hb.build_hierarchy(*args)
+
+
+@pytest.mark.parametrize("target", [1e-6, 1e-3, 0.01, 0.1, 10.0])
+def test_cut_is_proper(target):
+    """Proper-cut invariant for any target below the root's projected size.
+    Above it the cut is empty — the reference renders nothing when even the
+    root subtends less than the granularity target
+    (markNodesForSizeDynamic, runtime_switching.cu:533-582)."""
+    h = build_test_hierarchy()
+    nodes = jnp.asarray(h.nodes)
+    alive = jnp.ones(nodes.shape[0], bool)
+    viewpoint = jnp.asarray([0.0, 0.0, -30.0])
+    zdir = jnp.asarray([0.0, 0.0, 1.0])
+
+    cut = hc.expand_to_size_dynamic(
+        nodes, jnp.asarray(h.pos), jnp.asarray(h.scale.max(-1)), alive,
+        viewpoint, zdir, target, use_frustum=False)
+    root = np.where(h.nodes[:, NODE_PARENT] == -1)[0][0]
+    if float(cut.size[root]) >= target:
+        assert bool(hc.is_hierarchy_cut(nodes, cut.render_mask, alive))
+    else:
+        assert int(jnp.sum(cut.render_mask)) == 0
+
+
+def test_tiny_target_selects_leaves():
+    h = build_test_hierarchy()
+    nodes = jnp.asarray(h.nodes)
+    alive = jnp.ones(nodes.shape[0], bool)
+    cut = hc.expand_to_size_dynamic(
+        nodes, jnp.asarray(h.pos), jnp.asarray(h.scale.max(-1)), alive,
+        jnp.asarray([0.0, 0.0, -30.0]), jnp.asarray([0.0, 0.0, 1.0]),
+        1e-9, use_frustum=False)
+    leaves = h.nodes[:, NODE_CHILD_COUNT] == 0
+    np.testing.assert_array_equal(np.asarray(cut.render_mask), leaves)
+    # at maximum detail every selected node interpolates fully to itself
+    assert np.allclose(np.asarray(cut.ts)[leaves], 1.0)
+
+
+def test_coarse_target_selects_top_children():
+    """Just below the root's size the cut is the root's two children."""
+    h = build_test_hierarchy()
+    nodes = jnp.asarray(h.nodes)
+    alive = jnp.ones(nodes.shape[0], bool)
+    viewpoint = jnp.asarray([0.0, 0.0, -1000.0])
+    root = np.where(h.nodes[:, NODE_PARENT] == -1)[0][0]
+    root_size = h.scale[root].max() / np.linalg.norm(
+        np.asarray(viewpoint) - h.pos[root])
+    # target above every node but below the root
+    sizes = h.scale.max(-1) / np.linalg.norm(
+        np.asarray(viewpoint) - h.pos, axis=-1)
+    second = np.sort(sizes)[-2]
+    target = (root_size + second) / 2 if second < root_size else root_size * 0.999
+    cut = hc.expand_to_size_dynamic(
+        nodes, jnp.asarray(h.pos), jnp.asarray(h.scale.max(-1)), alive,
+        viewpoint, jnp.asarray([0.0, 0.0, 1.0]), float(target),
+        use_frustum=False)
+    mask = np.asarray(cut.render_mask)
+    assert bool(hc.is_hierarchy_cut(nodes, jnp.asarray(mask), alive))
+    assert not mask[root]
+    assert mask.sum() >= 2
+
+
+def test_ts_formula_matches_reference():
+    """Re-derive computeTsIndexedDynamic (runtime_switching.cu:640-684) in
+    scalar numpy for every node and compare."""
+    h = build_test_hierarchy(n=17, seed=2)
+    nodes = h.nodes
+    viewpoint = np.array([1.0, -2.0, -20.0], np.float32)
+    target = 0.004
+    maxsc = h.scale.max(-1)
+
+    cut = hc.expand_to_size_dynamic(
+        jnp.asarray(nodes), jnp.asarray(h.pos), jnp.asarray(maxsc),
+        jnp.ones(nodes.shape[0], bool), jnp.asarray(viewpoint),
+        jnp.asarray([0.0, 0.0, 1.0]), target, use_frustum=False)
+
+    def size(i):
+        return maxsc[i] / np.linalg.norm(viewpoint - h.pos[i])
+
+    for i in range(nodes.shape[0]):
+        p = nodes[i, NODE_PARENT]
+        if p < 0:
+            t = 1.0
+        else:
+            ps = size(p)
+            if ps > 2 * target:
+                t = 1.0
+            else:
+                s = size(i)
+                start = max(0.5 * ps, s)
+                diff = ps - start
+                if diff <= 0:
+                    t = 1.0
+                else:
+                    t = max(1.0 - max(0.0, target - start) / diff, 0.0)
+        assert float(cut.ts[i]) == pytest.approx(t, rel=1e-5), i
+
+
+def test_box_cut_inside_box_is_infinite():
+    h = build_test_hierarchy()
+    nodes = jnp.asarray(h.nodes)
+    alive = jnp.ones(nodes.shape[0], bool)
+    root = np.where(h.nodes[:, NODE_PARENT] == -1)[0][0]
+    inside_pt = jnp.asarray((h.box_lo[root] + h.box_hi[root]) / 2)
+    cut = hc.expand_to_size_box(
+        nodes, jnp.asarray(h.box_lo), jnp.asarray(h.box_hi),
+        jnp.asarray(h.max_side), alive, inside_pt, 1e9)
+    # viewpoint inside the root box -> root size is inf -> must recurse
+    assert float(cut.size[root]) == np.inf
+    assert bool(hc.is_hierarchy_cut(nodes, cut.render_mask, alive))
+
+
+def test_interpolation_sign_fix():
+    params = dict(
+        means3d=jnp.asarray([[0.0, 0, 0], [1, 0, 0]]),
+        scales=jnp.asarray([[1.0, 1, 1], [2, 2, 2]]),
+        quats=jnp.asarray([[1.0, 0, 0, 0], [-1.0, 0, 0, 0]]),
+        opacities=jnp.asarray([0.5, 0.9]),
+        shs=jnp.zeros((2, 1, 3)),
+    )
+    out = hc.interpolate_with_parents(
+        params, jnp.asarray([0]), jnp.asarray([1]), jnp.asarray([0.5]))
+    # parent quat (-1,0,0,0) has negative dot with child -> flipped to (1,0,0,0)
+    np.testing.assert_allclose(np.asarray(out["quats"][0]), [1, 0, 0, 0],
+                               atol=1e-6)
+    assert float(out["opacities"][0]) == pytest.approx(0.7)
+    np.testing.assert_allclose(np.asarray(out["means3d"][0]), [0.5, 0, 0])
+
+
+def test_render_lod_smoke_and_detail_consistency():
+    """Full-detail LOD render ~= flat render of the leaves."""
+    n = 32
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    scales = np.full((n, 3), 0.05, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    ops = np.full((n,), 0.8, np.float32)
+    shs = rng.random((n, 1, 3)).astype(np.float32) - 0.5
+
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    m = h.nodes.shape[0]
+    cam = cam_mod.make_camera(np.eye(3), np.zeros(3), 0.8, 0.8, 64, 64)
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=4096)
+
+    out_lod, n_sel = render_mod.render_lod(
+        jnp.asarray(h.pos), jnp.asarray(h.scale), jnp.asarray(h.quat),
+        jnp.asarray(np.clip(h.opacity, 0, 1)), jnp.asarray(h.sh),
+        jnp.asarray(h.nodes), jnp.ones(m, bool),
+        cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx, cam.tan_fovy,
+        jnp.zeros(3), 1e-9,
+        sh_degree=0, width=64, height=64, budget=64, cfg=cfg, k_max=128,
+        use_frustum=False)
+    assert int(n_sel) == n  # all leaves
+
+    # flat render of the leaves only
+    leaves = h.nodes[:, NODE_CHILD_COUNT] == 0
+    valid = jnp.asarray(leaves)
+    out_flat = render_mod.render_arrays(
+        jnp.asarray(h.pos), jnp.asarray(h.scale), jnp.asarray(h.quat),
+        jnp.asarray(np.clip(h.opacity, 0, 1)), jnp.asarray(h.sh), valid,
+        cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx, cam.tan_fovy,
+        jnp.zeros(3), sh_degree=0, width=64, height=64, cfg=cfg, k_max=128)
+
+    np.testing.assert_allclose(np.asarray(out_lod.image),
+                               np.asarray(out_flat.image), atol=2e-5)
+
+    # coarser cut still renders something sane
+    out_coarse, n_sel_c = render_mod.render_lod(
+        jnp.asarray(h.pos), jnp.asarray(h.scale), jnp.asarray(h.quat),
+        jnp.asarray(np.clip(h.opacity, 0, 1)), jnp.asarray(h.sh),
+        jnp.asarray(h.nodes), jnp.ones(m, bool),
+        cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx, cam.tan_fovy,
+        jnp.zeros(3), 0.03,
+        sh_degree=0, width=64, height=64, budget=64, cfg=cfg, k_max=128,
+        use_frustum=False)
+    assert 0 < int(n_sel_c) < n
+    img = np.asarray(out_coarse.image)
+    assert np.isfinite(img).all() and img.max() > 0.01
