@@ -85,7 +85,11 @@ class RasterizerConfig:
     and blending pipeline runs at these capacities with validity masks.
     """
 
-    # Pixel tile shape. (8, 128) = exactly one VPU vreg of pixels per step.
+    # Blend backend: "pallas" = production TPU kernels (ops/rasterize_pallas),
+    # "xla" = lax.scan reference (ops/rasterize_xla).
+    backend: str = "xla"
+    # Pixel tile shape. The pallas backend requires tile_h * tile_w == 128
+    # (pixels live on the 128 VPU lanes); the xla backend is unconstrained.
     tile_h: int = 8
     tile_w: int = 128
     # Capacity of the duplicated (gaussian, tile) key list. Overflow is

@@ -1,0 +1,185 @@
+"""Scene loading: COLMAP reconstruction -> cameras + initial point cloud.
+
+Re-design of the reference scene layer (scene/dataset_readers.py:181-270,
+scene/__init__.py:26-124, utils/camera_utils.py): lazy per-view image
+loading, train/test split via test.txt or every-8th/default eval holdout,
+NeRF++-style scene extent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from hlod_gaussians_tpu.data import colmap as cm
+from hlod_gaussians_tpu.data import ply as ply_io
+from hlod_gaussians_tpu.utils.camera import Camera, make_camera
+
+
+class CameraInfo(NamedTuple):
+    uid: int
+    R: np.ndarray           # cam-to-world rotation (qvec2rotmat(q).T)
+    T: np.ndarray           # world-to-cam translation
+    fovx: float
+    fovy: float
+    primx: float
+    primy: float
+    width: int
+    height: int
+    image_path: str
+    image_name: str
+    depth_path: str = ""
+    depth_params: Optional[dict] = None
+    alpha_path: str = ""
+
+
+class SceneInfo(NamedTuple):
+    points: np.ndarray        # [N,3]
+    colors: np.ndarray        # [N,3] in [0,1]
+    train_cameras: List[CameraInfo]
+    test_cameras: List[CameraInfo]
+    extent: float             # nerf++ norm radius
+    center: np.ndarray        # translate applied (negated camera centroid)
+
+
+def nerfpp_norm(cam_infos: Sequence[CameraInfo]):
+    """Scene extent = 1.1 x max distance from the average camera center
+    (reference getNerfppNorm, scene/dataset_readers.py:52-73)."""
+    centers = []
+    for c in cam_infos:
+        w2c = np.eye(4)
+        w2c[:3, :3] = c.R.T
+        w2c[:3, 3] = c.T
+        c2w = np.linalg.inv(w2c)
+        centers.append(c2w[:3, 3])
+    centers = np.stack(centers)
+    avg = centers.mean(axis=0)
+    radius = float(np.linalg.norm(centers - avg, axis=-1).max() * 1.1)
+    return radius, -avg
+
+
+def load_colmap_scene(
+    source_path: str,
+    images_dir: str = "images",
+    depths_dir: str = "",
+    alpha_masks_dir: str = "",
+    eval_split: bool = False,
+    test_hold: int = 8,
+    sparse_subdir: str = "sparse/0",
+) -> SceneInfo:
+    """readColmapSceneInfo equivalent (scene/dataset_readers.py:181-270)."""
+    sparse = os.path.join(source_path, sparse_subdir)
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(source_path, "sparse")
+    cams, images, pts = cm.read_model(sparse)
+
+    infos = []
+    for iid in sorted(images, key=lambda i: images[i].name):
+        im = images[iid]
+        cam = cams[im.camera_id]
+        fovx, fovy, primx, primy = cm.camera_intrinsics(cam)
+        R = cm.qvec2rotmat(im.qvec).T
+        name = os.path.splitext(im.name)[0]
+        depth_path = (os.path.join(source_path, depths_dir, name + ".png")
+                      if depths_dir else "")
+        alpha_path = (os.path.join(alpha_masks_dir, name + ".png")
+                      if alpha_masks_dir else "")
+        infos.append(CameraInfo(
+            uid=iid, R=R, T=im.tvec.astype(np.float64),
+            fovx=float(fovx), fovy=float(fovy),
+            primx=float(primx), primy=float(primy),
+            width=cam.width, height=cam.height,
+            image_path=os.path.join(source_path, images_dir, im.name),
+            image_name=name, depth_path=depth_path, alpha_path=alpha_path))
+
+    # split: test.txt (one image name per line) or every test_hold-th
+    test_file = os.path.join(source_path, "test.txt")
+    if os.path.exists(test_file):
+        test_names = {l.strip() for l in open(test_file) if l.strip()}
+        train = [c for c in infos if c.image_name not in test_names
+                 and os.path.basename(c.image_path) not in test_names]
+        test = [c for c in infos if c.image_name in test_names
+                or os.path.basename(c.image_path) in test_names]
+    elif eval_split:
+        train = [c for i, c in enumerate(infos) if i % test_hold != 0]
+        test = [c for i, c in enumerate(infos) if i % test_hold == 0]
+    else:
+        train, test = infos, []
+
+    extent, center = nerfpp_norm(infos)
+
+    if pts is not None:
+        points = pts.xyz
+        colors = pts.rgb.astype(np.float32) / 255.0
+    else:
+        ply_path = os.path.join(sparse, "points3D.ply")
+        if os.path.exists(ply_path):
+            points, colors = ply_io.load_points_ply(ply_path)
+        else:
+            points = np.zeros((0, 3), np.float32)
+            colors = np.zeros((0, 3), np.float32)
+
+    return SceneInfo(points=points, colors=colors, train_cameras=train,
+                     test_cameras=test, extent=extent, center=center)
+
+
+def _downscale(img: np.ndarray, resolution_scale: float, max_width: int = 1600):
+    """Resolution policy of the reference loadCam (utils/camera_utils.py:19-70):
+    images wider than 1600 px are downscaled (with a warning upstream)."""
+    h, w = img.shape[:2]
+    scale = resolution_scale
+    if max_width > 0 and w / scale > max_width:
+        scale = w / max_width
+    if scale == 1.0:
+        return img
+    from PIL import Image
+    im = Image.fromarray((img * 255).astype(np.uint8) if img.dtype != np.uint8
+                         else img)
+    nw, nh = round(w / scale), round(h / scale)
+    out = np.asarray(im.resize((nw, nh), Image.BILINEAR))
+    return out
+
+
+def load_view(info: CameraInfo, resolution_scale: float = 1.0,
+              max_width: int = 1600, exposure_idx: int = 0) -> Camera:
+    """Load one training view into a Camera pytree (reference loadCam)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(info.image_path).convert("RGB"),
+                     dtype=np.float32) / 255.0
+    img = _downscale(img, resolution_scale, max_width)
+    h, w = img.shape[:2]
+    chw = np.transpose(img, (2, 0, 1)).astype(np.float32)
+
+    invdepth = None
+    depth_mask = None
+    if info.depth_path and os.path.exists(info.depth_path):
+        d = np.asarray(Image.open(info.depth_path), dtype=np.float32)
+        if d.ndim == 3:
+            d = d[..., 0]
+        dp = info.depth_params or {}
+        scale_v = float(dp.get("scale", 1.0 / 65535.0))
+        offset_v = float(dp.get("offset", 0.0))
+        inv = d * scale_v + offset_v
+        if inv.shape != (h, w):
+            im = Image.fromarray(inv)
+            inv = np.asarray(im.resize((w, h), Image.NEAREST))
+        invdepth = inv[None].astype(np.float32)
+        depth_mask = (invdepth > 0).astype(np.float32)
+
+    alpha = None
+    if info.alpha_path and os.path.exists(info.alpha_path):
+        a = np.asarray(Image.open(info.alpha_path).convert("L"),
+                       dtype=np.float32) / 255.0
+        if a.shape != (h, w):
+            im = Image.fromarray(a)
+            a = np.asarray(im.resize((w, h), Image.BILINEAR))
+        alpha = a[None].astype(np.float32)
+
+    return make_camera(info.R, info.T, info.fovx, info.fovy, w, h,
+                       primx=info.primx, primy=info.primy,
+                       image=chw, alpha_mask=alpha, invdepth=invdepth,
+                       depth_mask=depth_mask, exposure_idx=exposure_idx)

@@ -50,6 +50,45 @@ def compute_rects(xy, radius, width: int, height: int, tile_w: int, tile_h: int)
     return min_x, min_y, jnp.maximum(max_x - min_x, 0), jnp.maximum(max_y - min_y, 0)
 
 
+class AlignedBins(NamedTuple):
+    """Chunk-aligned dup-entry layout for the Pallas blend kernels: every
+    tile's range starts at a multiple of `chunk` so per-tile DMA slices of
+    the entry/gradient buffers never overlap across tiles."""
+
+    entry_gid: jnp.ndarray    # [cap] int32 gaussian index per entry (garbage in padding)
+    tile_starts: jnp.ndarray  # [num_tiles] int32, chunk-aligned
+    tile_counts: jnp.ndarray  # [num_tiles] int32 true counts
+    overflow: jnp.ndarray     # scalar bool
+
+
+def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
+    """Re-pack the sorted dup list so each tile's range is chunk-aligned.
+
+    Output capacity is the static worst case max_dup + num_tiles * (chunk-1),
+    rounded up to a multiple of `chunk`.
+    """
+    max_dup = bins.sorted_gid.shape[0]
+    cap = max_dup + num_tiles * (chunk - 1)
+    cap = -(-cap // chunk) * chunk
+
+    padded = -(-bins.tile_counts // chunk) * chunk
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+
+    # rank of each entry within its tile
+    pos = jnp.arange(max_dup, dtype=jnp.int32)
+    tile = bins.sorted_tile
+    in_range = tile < num_tiles
+    tile_c = jnp.clip(tile, 0, num_tiles - 1)
+    rank = pos - bins.tile_starts[tile_c]
+    dst = jnp.where(in_range, aligned_starts[tile_c] + rank, cap)
+
+    entry_gid = jnp.zeros((cap,), jnp.int32).at[dst].set(
+        bins.sorted_gid, mode="drop")
+    return AlignedBins(entry_gid=entry_gid, tile_starts=aligned_starts,
+                       tile_counts=bins.tile_counts, overflow=bins.overflow)
+
+
 def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
                   tile_w: int, tile_h: int, max_dup: int) -> TileBins:
     """Build the sorted (tile, depth) dup list with static shapes."""

@@ -1,0 +1,434 @@
+"""Pallas TPU rasterizer: per-tile front-to-back blending kernels.
+
+The production blend path — the TPU counterpart of the CUDA renderCUDA
+kernels (hierarchy-rasterizer/cuda_rasterizer/forward.cu:450-596 forward,
+backward.cu:498-721 backward), re-derived for the TPU's vector/matrix units
+instead of translated:
+
+* The CUDA kernel is a scalar front-to-back loop per pixel thread. Here each
+  tile's entry list is processed in chunks of 128 as a dense
+  ``[entries(sublanes) x pixels(lanes)]`` matrix, and the *sequential* alpha
+  compositing becomes closed-form **log-space cumulative products** computed
+  with triangular-ones matmuls on the MXU:
+
+      T_before(k) = T_in * prod_{j<k}(1 - a_j)
+                  = T_in * exp( tril_strict @ log(1 - a) )
+
+  Pixel color is then one weighted accumulation
+  ``acc += sum_k w_k * c_k`` — another matmul. No per-entry scalar
+  extraction, no serial dependency chains on the VPU.
+* Early-stop semantics match the CUDA kernel exactly: an entry is applied
+  iff the inclusive product stays >= t_eps; the first entry that would cross
+  the threshold is dropped and the pixel is saturated from then on
+  (monotonicity of T makes the masked closed form equal to the sticky
+  `done` flag of the serial loop, forward.cu:561-566).
+* Binning stays XLA (ops/binning.py) with tile ranges CHUNK-aligned
+  (`align_bins`) so each tile's gradient writes land in an exclusive
+  [start, start+padded_count) slice — no atomics, unlike the CUDA backward.
+* Per-entry inputs are pre-gathered by XLA into ``entry_data
+  [max_dup, 16]`` (x, y, cxx, cxy, cyy, opacity, r, g, b, invdepth, t_lod,
+  inv_kids, pad...). The gather is autodiff-traced, so scatter-add of entry
+  gradients onto Gaussians falls out of ``jnp.take``'s VJP.
+* Backward walks chunks in reverse, reconstructing transmittance by
+  division from the saved ``final_t`` exactly like the CUDA backward, using
+  the saved per-pixel ``n_contrib`` to decide which entries were applied.
+
+LOD alpha correction (forward.cu:546-554) is applied in-kernel:
+    kidsqrt_alpha = 1 - (1 - alpha)^(1/kids)
+    alpha' = t * alpha + (1 - t) * kidsqrt_alpha
+with the matching opacity chain rule in backward (backward.cu:711-715).
+
+Tile shape: ``tile_w x tile_h`` with ``tile_w * tile_h == 128`` pixels — the
+pixel axis lives entirely on the 128 VPU lanes; default 16x8.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# entry_data columns
+_EX, _EY, _ECXX, _ECXY, _ECYY, _EOP, _ER, _EG, _EB, _EID, _ET, _EIK = range(12)
+N_ENTRY_COLS = 16   # 12 used, padded for DMA-friendly rows
+N_GRAD_COLS = 16    # dgx dgy dcxx dcxy dcyy dop dr dg db dinvd + pad
+
+CHUNK = 128         # entries per chunk == sublane count of the chunk matrix
+PIX = 128           # pixels per tile == lane count
+
+_LOG_EPS = -80.0    # log-space floor: exp(-80) ~ 1.8e-35, safely below t_eps
+
+
+def _pixel_xy(tile_id, gw: int, tile_h: int, tile_w: int):
+    """Pixel centers of the tile as [1, PIX] lane vectors."""
+    tx = tile_id % gw
+    ty = tile_id // gw
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = tx * tile_w + p % tile_w
+    py = ty * tile_h + p // tile_w
+    return px, py
+
+
+def _tri_strict():
+    """[CHUNK, CHUNK] strict lower-triangular ones: (A^T L)_k = sum_{j<k}."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (c < r).astype(jnp.float32)
+
+
+def _usq_strict():
+    """[CHUNK, CHUNK] strict upper-triangular ones: (U M)_k = sum_{j>k}."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (c > r).astype(jnp.float32)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod):
+    """Shared forward math: per-(entry, pixel) effective alpha + masks.
+
+    chunk: [CHUNK, N_ENTRY_COLS]; returns (alpha [CHUNK, PIX] pre-masked,
+    pre mask, aux dict for backward reuse).
+    """
+    col = lambda i: chunk[:, i:i + 1]                        # [CHUNK,1]
+    gx, gy = col(_EX), col(_EY)
+    cxx, cxy, cyy = col(_ECXX), col(_ECXY), col(_ECYY)
+    op = col(_EOP)
+
+    dx = gx - pxf                                            # [CHUNK, PIX]
+    dy = gy - pyf
+    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    G = jnp.exp(power)
+    opG = op * G
+    my_alpha = jnp.minimum(0.99, opG)
+
+    if use_lod:
+        t_lod, ik = col(_ET), col(_EIK)
+        lg1m = jnp.log(jnp.maximum(1.0 - my_alpha, 1e-12))
+        pw = jnp.exp(ik * lg1m)
+        alpha = t_lod * my_alpha + (1.0 - t_lod) * (1.0 - pw)
+        dalpha_dmy = t_lod + (1.0 - t_lod) * ik * pw / jnp.maximum(
+            1.0 - my_alpha, 1e-12)
+    else:
+        alpha = my_alpha
+        dalpha_dmy = jnp.ones_like(my_alpha)
+
+    k = base_k + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    pre = (power <= 0.0) & (alpha >= alpha_min) & (k < count)
+    aux = dict(dx=dx, dy=dy, G=G, opG=opG, power=power, k=k,
+               dalpha_dmy=dalpha_dmy, cxx=cxx, cxy=cxy, cyy=cyy)
+    return jnp.where(pre, alpha, 0.0), pre, aux
+
+
+def _forward_kernel(starts_ref, counts_ref,
+                    entries_hbm,                      # [16, max_dup] HBM
+                    img_ref, ft_ref, nc_ref,          # VMEM out blocks
+                    chunk_vmem, sem,
+                    *, gw: int, tile_h: int, tile_w: int, width: int,
+                    height: int, t_eps: float, alpha_min: float,
+                    use_lod: bool):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+
+    px, py = _pixel_xy(t, gw, tile_h, tile_w)
+    inside = (px < width) & (py < height)                    # [1, PIX]
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+
+    n_chunks = pl.cdiv(count, CHUNK)
+    tril = _tri_strict()
+
+    def dma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            entries_hbm.at[:, pl.ds(off, CHUNK)],
+            chunk_vmem.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, carry):
+        logT, acc0, acc1, acc2, acc3, n_contrib = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+        dma(slot, c).wait()
+
+        # float-masked saturation vote (bool-select lowering is unsupported)
+        saturated = jnp.max(jnp.where(inside, logT, _LOG_EPS)) < jnp.log(t_eps)
+
+        def process(args):
+            logT, acc0, acc1, acc2, acc3, n_contrib = args
+            chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
+            alpha, pre, aux = _chunk_alpha(
+                chunk, pxf, pyf, count, c * CHUNK,
+                alpha_min=alpha_min, use_lod=use_lod)
+            alpha = alpha * inside.astype(jnp.float32)
+
+            lg = jnp.log1p(-alpha)                          # 0 where masked
+            cum_ex = _mm(tril, lg)                          # exclusive prefix
+            log_before = logT + cum_ex                      # [CHUNK, PIX]
+            log_incl = log_before + lg
+            # applied iff the inclusive product stays above t_eps
+            apply = (alpha > 0.0) & (log_incl >= jnp.log(t_eps))
+
+            w = jnp.where(apply, alpha * jnp.exp(log_before), 0.0)
+            col = lambda i: chunk[:, i:i + 1]
+            acc0 += jnp.sum(w * col(_ER), axis=0, keepdims=True)
+            acc1 += jnp.sum(w * col(_EG), axis=0, keepdims=True)
+            acc2 += jnp.sum(w * col(_EB), axis=0, keepdims=True)
+            acc3 += jnp.sum(w * col(_EID), axis=0, keepdims=True)
+
+            lg_applied = jnp.where(apply, lg, 0.0)
+            logT = logT + jnp.sum(lg_applied, axis=0, keepdims=True)
+
+            kk = aux["k"] + 1
+            n_contrib = jnp.maximum(
+                n_contrib,
+                jnp.max(jnp.where(apply, kk, 0), axis=0, keepdims=True))
+            return logT, acc0, acc1, acc2, acc3, n_contrib
+
+        return jax.lax.cond(saturated, lambda a: a, process,
+                            (logT, acc0, acc1, acc2, acc3, n_contrib))
+
+    z = jnp.zeros((1, PIX), jnp.float32)
+    init = (z, z, z, z, z, jnp.zeros((1, PIX), jnp.int32))
+    logT, acc0, acc1, acc2, acc3, n_contrib = jax.lax.fori_loop(
+        0, n_chunks, body, init)
+
+    img_ref[0, 0] = acc0[0]
+    img_ref[0, 1] = acc1[0]
+    img_ref[0, 2] = acc2[0]
+    img_ref[0, 3] = acc3[0]
+    ft_ref[0] = jnp.exp(logT)
+    nc_ref[0] = n_contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
+                     "t_eps", "alpha_min", "use_lod", "interpret"))
+def blend_forward(entry_data, tile_starts, tile_counts, *,
+                  num_tiles: int, gw: int, tile_h: int, tile_w: int,
+                  width: int, height: int, t_eps: float = 1e-4,
+                  alpha_min: float = 1.0 / 255.0,
+                  use_lod: bool = False, interpret: bool = False):
+    """entry_data [16, max_dup] (CHUNK-aligned tile ranges) ->
+    (img4 [T, 4, PIX], final_t [T, 1, PIX], n_contrib [T, 1, PIX])."""
+    assert tile_h * tile_w == PIX, (tile_h, tile_w)
+    assert entry_data.shape[1] % CHUNK == 0
+    kernel = functools.partial(
+        _forward_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
+        height=height, t_eps=t_eps, alpha_min=alpha_min, use_lod=use_lod)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 4, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, N_ENTRY_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, 4, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_starts, tile_counts, entry_data)
+
+
+def _backward_kernel(starts_ref, counts_ref,
+                     entries_hbm,
+                     ft_ref, nc_ref, gimg_ref, gft_ref,
+                     egrad_hbm,
+                     chunk_vmem, grad_vmem, sem, osem,
+                     *, gw: int, tile_h: int, tile_w: int, width: int,
+                     height: int, alpha_min: float, use_lod: bool):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+
+    px, py = _pixel_xy(t, gw, tile_h, tile_w)
+    inside = (px < width) & (py < height)
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+
+    final_t = ft_ref[0]                   # [1, PIX]
+    n_contrib = nc_ref[0]
+    g0 = gimg_ref[0, 0:1]
+    g1 = gimg_ref[0, 1:2]
+    g2 = gimg_ref[0, 2:3]
+    g3 = gimg_ref[0, 3:4]
+    dT_total = gft_ref[0]
+
+    n_chunks = pl.cdiv(count, CHUNK)
+    tril = _tri_strict()
+    usq = _usq_strict()
+
+    def dma_in(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            entries_hbm.at[:, pl.ds(off, CHUNK)],
+            chunk_vmem.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, n_chunks - 1).start()
+
+    def body(ci, carry):
+        logT_end, s0, s1, s2, s3 = carry      # suffix color sums [1, PIX]
+        c = n_chunks - 1 - ci
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma_in((ci + 1) % 2, jnp.maximum(c - 1, 0)).start()
+        dma_in(slot, c).wait()
+
+        chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
+        alpha, pre, aux = _chunk_alpha(
+            chunk, pxf, pyf, count, c * CHUNK,
+            alpha_min=alpha_min, use_lod=use_lod)
+        alpha = alpha * inside.astype(jnp.float32)
+
+        applied = (alpha > 0.0) & (aux["k"] + 1 <= n_contrib)
+        a = jnp.where(applied, alpha, 0.0)
+        one_m = 1.0 - a
+        lg = jnp.log1p(-a)
+
+        chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
+        logT_start = logT_end - chunk_sum
+        log_before = logT_start + _mm(tril, lg)
+        t_before = jnp.exp(log_before)                        # [CHUNK, PIX]
+        contrib = a * t_before
+
+        col = lambda i: chunk[:, i:i + 1]
+        cr, cg, cb, cd = col(_ER), col(_EG), col(_EB), col(_EID)
+
+        # per-entry color grads (reduce over lanes)
+        dcr = jnp.sum(contrib * g0, axis=1, keepdims=True)
+        dcg = jnp.sum(contrib * g1, axis=1, keepdims=True)
+        dcb = jnp.sum(contrib * g2, axis=1, keepdims=True)
+        dcd = jnp.sum(contrib * g3, axis=1, keepdims=True)
+
+        # suffix color sums: Suf_k = sum_{j>k} c_j * contrib_j  (+ carry)
+        suf0 = _mm(usq, cr * contrib) + s0
+        suf1 = _mm(usq, cg * contrib) + s1
+        suf2 = _mm(usq, cb * contrib) + s2
+        suf3 = _mm(usq, cd * contrib) + s3
+
+        # dL/dalpha (backward.cu:606-634)
+        dal = (cr * g0 + cg * g1 + cb * g2 + cd * g3) * t_before
+        dal = dal - (suf0 * g0 + suf1 * g1 + suf2 * g2 + suf3 * g3) / one_m
+        dal = dal - dT_total * final_t / one_m
+        dal = jnp.where(applied, dal, 0.0)
+
+        dmy = dal * aux["dalpha_dmy"]
+        not_clipped = aux["opG"] < 0.99
+        dop_px = jnp.where(not_clipped, aux["G"] * dmy, 0.0)
+        dpower = jnp.where(not_clipped, aux["opG"] * dmy, 0.0)
+
+        dx, dy = aux["dx"], aux["dy"]
+        dop = jnp.sum(dop_px, axis=1, keepdims=True)
+        dcxx = jnp.sum(-0.5 * dx * dx * dpower, axis=1, keepdims=True)
+        dcxy = jnp.sum(-dx * dy * dpower, axis=1, keepdims=True)
+        dcyy = jnp.sum(-0.5 * dy * dy * dpower, axis=1, keepdims=True)
+        dgx = jnp.sum(-(aux["cxx"] * dx + aux["cxy"] * dy) * dpower,
+                      axis=1, keepdims=True)
+        dgy = jnp.sum(-(aux["cyy"] * dy + aux["cxy"] * dx) * dpower,
+                      axis=1, keepdims=True)
+
+        zeros = jnp.zeros((CHUNK, N_GRAD_COLS - 10), jnp.float32)
+        g16 = jnp.concatenate(
+            [dgx, dgy, dcxx, dcxy, dcyy, dop, dcr, dcg, dcb, dcd, zeros],
+            axis=1)
+        grad_vmem[...] = jnp.transpose(g16)           # [16, CHUNK]
+        off_out = pl.multiple_of(start + c * CHUNK, CHUNK)
+        out = pltpu.make_async_copy(
+            grad_vmem, egrad_hbm.at[:, pl.ds(off_out, CHUNK)], osem)
+        out.start()
+        out.wait()
+
+        s0n = s0 + jnp.sum(cr * contrib, axis=0, keepdims=True)
+        s1n = s1 + jnp.sum(cg * contrib, axis=0, keepdims=True)
+        s2n = s2 + jnp.sum(cb * contrib, axis=0, keepdims=True)
+        s3n = s3 + jnp.sum(cd * contrib, axis=0, keepdims=True)
+        return logT_start, s0n, s1n, s2n, s3n
+
+    z = jnp.zeros((1, PIX), jnp.float32)
+    safe_ft = jnp.maximum(final_t, 1e-30)
+    init = (jnp.log(safe_ft), z, z, z, z)
+    jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
+                     "alpha_min", "use_lod", "interpret"))
+def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
+                   g_img4, g_final_t, *,
+                   num_tiles: int, gw: int, tile_h: int, tile_w: int,
+                   width: int, height: int, alpha_min: float = 1.0 / 255.0,
+                   use_lod: bool = False, interpret: bool = False):
+    """Hand-derived backward -> per-entry gradients [max_dup, 16]."""
+    assert tile_h * tile_w == PIX
+    kernel = functools.partial(
+        _backward_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
+        height=height, alpha_min=alpha_min, use_lod=use_lod)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_ENTRY_COLS, CHUNK), jnp.float32),
+            pltpu.VMEM((N_GRAD_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (N_GRAD_COLS, entry_data.shape[1]), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts, tile_counts, entry_data, final_t, n_contrib, g_img4,
+      g_final_t)

@@ -28,11 +28,16 @@ def psnr(img1, img2):
 
 
 @functools.lru_cache()
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
-    # numpy so the cached constant is never a leaked tracer
+def _gaussian_window_np(window_size: int = 11, sigma: float = 1.5):
     x = np.arange(window_size, dtype=np.float32) - window_size // 2
     g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    return jnp.asarray(g / g.sum())
+    return g / g.sum()
+
+
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    # cache holds only numpy — a jnp constant created inside a jit trace is
+    # a tracer and must never be cached across traces
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _blur(img, window):

@@ -90,11 +90,24 @@ def render_arrays(
         width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup)
 
     invdepth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
-    out = rasterize_scan(
-        bins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
-        ts if use_lod else None, kids if use_lod else None,
-        width=width, height=height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-        k_max=k_max, t_eps=cfg.t_eps, alpha_min=cfg.alpha_min)
+    if cfg.backend == "pallas":
+        from hlod_gaussians_tpu.ops.binning import align_bins
+        from hlod_gaussians_tpu.ops import rasterize as rast
+        from hlod_gaussians_tpu.ops import rasterize_pallas as rp
+        from hlod_gaussians_tpu.ops.binning import tile_grid
+        gw, gh = tile_grid(width, height, cfg.tile_w, cfg.tile_h)
+        abins = align_bins(bins, gw * gh, rp.CHUNK)
+        out = rast.rasterize_tiles(
+            abins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
+            ts if use_lod else None, kids if use_lod else None,
+            width=width, height=height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            t_eps=cfg.t_eps, alpha_min=cfg.alpha_min)
+    else:
+        out = rasterize_scan(
+            bins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
+            ts if use_lod else None, kids if use_lod else None,
+            width=width, height=height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            k_max=k_max, t_eps=cfg.t_eps, alpha_min=cfg.alpha_min)
     return RenderResult(
         image=out.image, invdepth=out.invdepth, final_t=out.final_t,
         n_contrib=out.n_contrib, seen=out.seen, radii=proj.radius,

@@ -1,0 +1,166 @@
+"""Pallas blend kernel parity vs. the XLA scan reference (interpret mode).
+
+The XLA scan (ops/rasterize_xla.py) is the semantic ground truth — itself
+validated against the CUDA reference semantics in test_rasterize.py. The
+Pallas path must match it on forward images AND input gradients.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hlod_gaussians_tpu.ops import gaussian_math, sh as sh_ops
+from hlod_gaussians_tpu.ops.binning import bin_gaussians
+from hlod_gaussians_tpu.ops.rasterize import rasterize_pallas_full
+from hlod_gaussians_tpu.ops.rasterize_xla import rasterize_scan
+from hlod_gaussians_tpu.utils.camera import make_camera
+
+W, H = 64, 48
+TILE_W, TILE_H = 16, 8
+MAX_DUP = 2048
+
+
+def make_scene(n=80, seed=0, spread=1.2, z=4.0, big=False):
+    rng = np.random.default_rng(seed)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * spread
+    xyz[:, 2] = z + rng.uniform(-1, 1, n)
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.4 - (1.5 if big else 2.5)
+                    ).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    ops = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, W, H)
+    return xyz, scales, quats, ops, colors, cam
+
+
+def project(xyz, scales, quats, ops, cam):
+    fx = W / (2 * cam.tan_fovx)
+    fy = H / (2 * cam.tan_fovy)
+    cov6 = gaussian_math.compute_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+    return gaussian_math.project_gaussians(
+        jnp.asarray(xyz), cov6, jnp.asarray(ops), cam.world_view,
+        cam.full_proj, W, H, fx, fy, cam.tan_fovx, cam.tan_fovy)
+
+
+def run_both(n=80, seed=0, use_lod=False, big=False, bg_val=0.3):
+    xyz, scales, quats, ops, colors, cam = make_scene(n, seed, big=big)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.full((3,), bg_val)
+
+    if use_lod:
+        rng = np.random.default_rng(seed + 1)
+        ts = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+        kids = jnp.asarray(rng.integers(1, 4, n).astype(np.int32))
+    else:
+        ts = kids = None
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP)
+    out_ref = rasterize_scan(
+        bins, proj.xy, proj.conic, proj.opacity, color, invd, bg, ts, kids,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, k_max=256)
+
+    out_pal = rasterize_pallas_full(
+        proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+        proj.opacity, color, invd, bg, ts, kids,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, max_dup=MAX_DUP,
+        interpret=True)
+    return out_ref, out_pal, (proj, color, invd, bg, ts, kids)
+
+
+@pytest.mark.parametrize("use_lod", [False, True])
+def test_forward_parity(use_lod):
+    out_ref, out_pal, _ = run_both(use_lod=use_lod)
+    np.testing.assert_allclose(np.asarray(out_pal.image),
+                               np.asarray(out_ref.image), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_pal.invdepth),
+                               np.asarray(out_ref.invdepth), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_pal.final_t),
+                               np.asarray(out_ref.final_t), atol=2e-5)
+
+
+def test_forward_parity_dense_overlap():
+    """Heavy overlap exercises the early-stop path."""
+    out_ref, out_pal, _ = run_both(n=200, seed=3, big=True)
+    assert int(np.asarray(out_ref.n_contrib).max()) > 20
+    np.testing.assert_allclose(np.asarray(out_pal.image),
+                               np.asarray(out_ref.image), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_pal.final_t),
+                               np.asarray(out_ref.final_t), atol=5e-5)
+
+
+def test_n_contrib_parity():
+    out_ref, out_pal, _ = run_both(n=120, seed=5)
+    np.testing.assert_array_equal(np.asarray(out_pal.n_contrib),
+                                  np.asarray(out_ref.n_contrib))
+
+
+@pytest.mark.parametrize("use_lod", [False, True])
+def test_gradient_parity(use_lod):
+    """d(loss)/d(xy, conic, opacity, color) match autodiff-through-scan."""
+    xyz, scales, quats, ops, colors, cam = make_scene(60, seed=7)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    n = xyz.shape[0]
+    if use_lod:
+        rng = np.random.default_rng(8)
+        ts = jnp.asarray(rng.uniform(0.2, 1, n).astype(np.float32))
+        kids = jnp.asarray(rng.integers(1, 4, n).astype(np.int32))
+    else:
+        ts = kids = None
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP)
+    tgt = jnp.asarray(np.random.default_rng(9).uniform(0, 1, (3, H, W))
+                      .astype(np.float32))
+
+    def loss_ref(xy, conic, op, col):
+        out = rasterize_scan(bins, xy, conic, op, col, invd, bg, ts, kids,
+                             width=W, height=H, tile_w=TILE_W, tile_h=TILE_H,
+                             k_max=256)
+        return jnp.abs(out.image - tgt).mean() + 0.1 * out.invdepth.mean() \
+            + 0.05 * out.final_t.mean()
+
+    def loss_pal(xy, conic, op, col):
+        out = rasterize_pallas_full(
+            xy, proj.depth, proj.radius, proj.valid, conic, op, col, invd,
+            bg, ts, kids, width=W, height=H, tile_w=TILE_W, tile_h=TILE_H,
+            max_dup=MAX_DUP, interpret=True)
+        return jnp.abs(out.image - tgt).mean() + 0.1 * out.invdepth.mean() \
+            + 0.05 * out.final_t.mean()
+
+    args = (proj.xy, proj.conic, proj.opacity, color)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*args)
+
+    for name, gr, gp in zip(("xy", "conic", "op", "color"), g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-12
+        np.testing.assert_allclose(gp / scale, gr / scale, atol=3e-4,
+                                   err_msg=name)
+
+
+def test_invdepth_gradient_not_dropped():
+    """The 4th blend channel must carry gradients too."""
+    xyz, scales, quats, ops, colors, cam = make_scene(40, seed=11)
+    proj = project(xyz, scales, quats, ops, cam)
+
+    def loss(invd):
+        out = rasterize_pallas_full(
+            proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+            proj.opacity, jnp.asarray(colors), invd, jnp.zeros(3),
+            width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, max_dup=MAX_DUP,
+            interpret=True)
+        return out.invdepth.sum()
+
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    g = np.asarray(jax.grad(loss)(invd))
+    assert np.abs(g).max() > 0
