@@ -41,7 +41,8 @@ def main():
                                   sh_degree=sh_degree, opacity_init=0.5)
     cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=0.8,
                       width=width, height=height)
-    cfg = RasterizerConfig(tile_w=16, tile_h=8, max_dup=1 << 21)
+    cfg = RasterizerConfig(backend="pallas", tile_w=16, tile_h=8,
+                           max_dup=1 << 21)
     k_max = 384
 
     act = gm.activate(state)

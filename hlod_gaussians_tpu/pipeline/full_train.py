@@ -1,0 +1,261 @@
+"""End-to-end pipeline: coarse scaffold -> per-chunk training -> hierarchy
+build -> post-optimization -> consolidation.
+
+Single-program replacement for the reference's process-level orchestration
+(scripts/full_train.py:45-263 + train_no_chunks.py:98-265): no subprocesses,
+no SLURM, no filesystem barriers — each stage is a Python call around jitted
+steps, and multi-chip scale-out shards views over the device mesh inside the
+steps themselves (parallel/data_parallel.py) instead of job arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hlod_gaussians_tpu.config import (OptimizationConfig, PostConfig,
+                                       RasterizerConfig)
+from hlod_gaussians_tpu.data import dhier as dhier_io
+from hlod_gaussians_tpu.data.scene import SceneInfo, load_view
+from hlod_gaussians_tpu.hierarchy import build as hb
+from hlod_gaussians_tpu.models import gaussians as gm
+from hlod_gaussians_tpu.pipeline import chunking, merge
+from hlod_gaussians_tpu.train import coarse as coarse_mod, flat, post as post_mod
+from hlod_gaussians_tpu.utils import scheduler
+from hlod_gaussians_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Stage iteration counts + capacities (reference defaults:
+    scripts/full_train.py:141-143, README.md:490-512)."""
+
+    coarse_iters: int = 30_000
+    chunk_iters: int = 30_000
+    post_iters: int = 15_000
+    skybox_num: int = 100_000
+    coarse_capacity: int = 1 << 20
+    chunk_capacity: int = 1 << 21
+    densification_interval: int = 300
+    post_densify_interval: int = 5_000
+    opacity_reset_interval: int = 3_000
+    densify_from_iter: int = 500
+    chunk_size: float = 100.0
+    k_max: int = 1024
+    mh_walk: bool = True            # cache-coherent view schedule
+    seed: int = 0
+
+
+def _cam_arrays(cam):
+    return (cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy)
+
+
+def train_flat_scene(
+    views: Sequence,                  # Camera pytrees (with .image)
+    points: np.ndarray, colors: np.ndarray,
+    scene_extent: float,
+    n_iters: int,
+    capacity: int,
+    *,
+    opt: OptimizationConfig = OptimizationConfig(),
+    cfg: RasterizerConfig = RasterizerConfig(),
+    pcfg: PipelineConfig = PipelineConfig(),
+    skybox_num: int = 0,
+    sh_degree: int = 3,
+    scale_big_gauss: bool = True,
+    logger: Optional[MetricsLogger] = None,
+    stage: str = "chunk",
+) -> flat.FlatTrainState:
+    """The train_single.py loop: step + densify/reset on schedule."""
+    state = gm.create_from_points(
+        points, colors, capacity=capacity, sh_degree=sh_degree,
+        n_exposures=len(views), scene_radius=scene_extent,
+        skybox_num=skybox_num)
+    ts = flat.init_flat_train(state)
+
+    centers = np.stack([np.asarray(v.campos) for v in views])
+    order = scheduler.view_schedule(centers, len(views), n_iters,
+                                    seed=pcfg.seed, walk=pcfg.mh_walk)
+    w, h = views[0].width, views[0].height
+
+    for it in range(n_iters):
+        v = views[int(order[it])]
+        ts, aux = flat.train_step(
+            ts, *_cam_arrays(v), v.image, jnp.zeros(3),
+            alpha_mask=v.alpha_mask,
+            mono_invdepth=None if v.invdepth is None else v.invdepth[0],
+            depth_mask=None if v.depth_mask is None else v.depth_mask[0],
+            exposure_idx=v.exposure_idx, scene_extent=scene_extent,
+            opt=opt, cfg=cfg, width=w, height=h, k_max=pcfg.k_max,
+            sh_degree=sh_degree, use_exposure=True,
+            skybox_locked=skybox_num > 0, scale_big_gauss=scale_big_gauss)
+        if (pcfg.densify_from_iter < it < opt.densify_until_iter
+                and it % pcfg.densification_interval == 0):
+            ts, n_split = flat.densify_step(ts, scene_extent, opt=opt)
+        if it > 0 and it % pcfg.opacity_reset_interval == 0 \
+                and it < opt.densify_until_iter:
+            ts = flat.reset_opacity(ts)
+        if logger and it % 50 == 0:
+            logger.log(stage=stage, it=it, loss=float(aux.loss),
+                       l1=float(aux.l1),
+                       n_alive=int(jnp.sum(ts.gaussians.alive)))
+    return ts
+
+
+def state_to_hierarchy(ts: flat.FlatTrainState) -> dhier_io.DHier:
+    """Trained flat state -> merge hierarchy (.dhier), skipping skybox rows
+    (the GaussianHierarchyCreator stage, mainHierarchyCreator.cpp:41-184)."""
+    g = ts.gaussians
+    alive = np.asarray(g.alive)
+    sky = g.n_skybox
+    rows = np.where(alive)[0]
+    rows = rows[rows >= sky]
+
+    act = gm.activate(g)
+    means = np.asarray(act.means3d)[rows]
+    scales = np.asarray(act.scales)[rows]
+    quats = np.asarray(act.quats)[rows]
+    ops = np.asarray(act.opacities)[rows]
+    shs = np.asarray(act.shs)[rows]
+
+    # input filtering (mainHierarchyCreator.cpp:87-152): drop NaN/Inf/huge
+    finite = (np.isfinite(means).all(1) & np.isfinite(scales).all(1)
+              & np.isfinite(quats).all(1) & (ops > 0.0)
+              & (scales.max(1) < 10.0))
+    means, scales, quats = means[finite], scales[finite], quats[finite]
+    ops, shs = ops[finite], shs[finite]
+
+    h = hb.build_hierarchy(means, scales, quats, ops, shs)
+    sh_degree = {1: 0, 4: 1, 9: 2, 16: 3}[shs.shape[1]]
+    return dhier_io.DHier(
+        sh_degree=sh_degree, pos=h.pos, quat=h.quat,
+        log_scale=np.log(np.maximum(h.scale, 1e-12)).astype(np.float32),
+        opacity=np.clip(h.opacity, 1e-4, 1.0 - 1e-6).astype(np.float32),
+        shs=h.sh.astype(np.float32), nodes=h.nodes)
+
+
+def post_optimize(
+    d: dhier_io.DHier,
+    views: Sequence,
+    scene_extent: float,
+    n_iters: int,
+    capacity: int,
+    *,
+    opt: OptimizationConfig = OptimizationConfig(),
+    post: PostConfig = PostConfig(),
+    cfg: RasterizerConfig = RasterizerConfig(),
+    pcfg: PipelineConfig = PipelineConfig(),
+    skybox_num: int = 0,
+    logger: Optional[MetricsLogger] = None,
+) -> post_mod.PostTrainState:
+    """The train_post.py loop: SPT cut per view + post step + MCMC rounds."""
+    from hlod_gaussians_tpu.hierarchy import spt as spt_mod
+
+    state = post_mod.create_from_dhier(d, capacity, skybox_num=skybox_num,
+                                       scene_radius=scene_extent,
+                                       n_exposures=len(views))
+    ts = post_mod.init_post_train(state)
+    forest = post_mod.rebuild_spt(state, post=post)
+
+    centers = np.stack([np.asarray(v.campos) for v in views])
+    order = scheduler.view_schedule(centers, len(views), n_iters,
+                                    seed=pcfg.seed + 1, walk=pcfg.mh_walk)
+    w, h = views[0].width, views[0].height
+    key = jax.random.PRNGKey(pcfg.seed)
+    dummy = jnp.zeros((capacity,))
+
+    for it in range(n_iters):
+        v = views[int(order[it])]
+        cut = spt_mod.spt_cut(forest, dummy, v.campos, v.full_proj)
+        ts, aux = post_mod.post_train_step(
+            ts, cut.gaussian_mask, *_cam_arrays(v), v.image, jnp.zeros(3),
+            scene_extent, opt=opt, post=post, cfg=cfg, width=w, height=h,
+            k_max=pcfg.k_max, sh_degree=d.sh_degree)
+        if it > 0 and it % pcfg.post_densify_interval == 0:
+            key, sub = jax.random.split(key)
+            ts, stats = post_mod.densify_round(ts, sub, post=post)
+            forest = post_mod.rebuild_spt(ts.gaussians, post=post)
+            if logger:
+                logger.log(stage="post_densify", it=it,
+                           **{k: int(s) for k, s in stats.items()})
+        if logger and it % 50 == 0:
+            logger.log(stage="post", it=it, loss=float(aux.loss),
+                       n_rendered=int(aux.n_rendered),
+                       n_cut=int(cut.n_selected))
+    return ts
+
+
+def run_pipeline(
+    scene: SceneInfo,
+    view_loader: Callable[[object], "Camera"] = None,
+    output_dir: str = "",
+    *,
+    pcfg: PipelineConfig = PipelineConfig(),
+    opt: OptimizationConfig = OptimizationConfig(),
+    post: PostConfig = PostConfig(),
+    cfg: RasterizerConfig = RasterizerConfig(),
+    logger: Optional[MetricsLogger] = None,
+) -> dhier_io.DHier:
+    """Full pipeline on a loaded scene. Returns the merged hierarchy.
+
+    view_loader maps a CameraInfo to a Camera pytree (defaults to
+    data.scene.load_view)."""
+    if view_loader is None:
+        view_loader = load_view
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+
+    views_all = [view_loader(ci) for ci in scene.train_cameras]
+
+    # 1) coarse scaffold over every view
+    coarse_opt = coarse_mod.coarse_opt_config(opt)
+    ts_coarse = train_flat_scene(
+        views_all, scene.points, scene.colors, scene.extent,
+        pcfg.coarse_iters, pcfg.coarse_capacity,
+        opt=coarse_opt, cfg=cfg, pcfg=pcfg, skybox_num=pcfg.skybox_num,
+        sh_degree=1, logger=logger, stage="coarse")
+
+    # 2) chunks (falls back to one whole-scene "chunk")
+    chunks = chunking.make_chunks(scene, chunk_size=pcfg.chunk_size,
+                                  min_n_cams=1, min_points=1)
+    if not chunks:
+        chunks = [chunking.Chunk(index=(0, 0),
+                                 center=np.zeros(3, np.float32),
+                                 extent=np.full(3, pcfg.chunk_size, np.float32),
+                                 cameras=list(scene.train_cameras),
+                                 point_mask=np.ones(len(scene.points), bool))]
+
+    info_to_idx = {id(ci): i for i, ci in enumerate(scene.train_cameras)}
+    chunk_dhiers: List[dhier_io.DHier] = []
+    centers = []
+    for chunk in chunks:
+        cams = [views_all[info_to_idx[id(ci)]] for ci in chunk.cameras]
+        pts = scene.points[chunk.point_mask]
+        cols = scene.colors[chunk.point_mask]
+        ts_chunk = train_flat_scene(
+            cams, pts, cols, scene.extent, pcfg.chunk_iters,
+            pcfg.chunk_capacity, opt=opt, cfg=cfg, pcfg=pcfg,
+            sh_degree=3, logger=logger, stage=f"chunk{chunk.index}")
+        d = state_to_hierarchy(ts_chunk)
+        d_post = post_optimize(
+            d, cams, scene.extent, pcfg.post_iters, pcfg.chunk_capacity,
+            opt=opt, post=post, cfg=cfg, pcfg=pcfg, logger=logger)
+        chunk_dhiers.append(post_mod.state_to_dhier(d_post.gaussians))
+        centers.append(chunk.center)
+        if output_dir:
+            cd = os.path.join(output_dir, f"chunk_{chunk.index[0]}_{chunk.index[1]}")
+            chunking.save_chunk_meta(cd, chunk)
+            dhier_io.save_dhier(os.path.join(cd, "hierarchy.dhier_opt"),
+                                chunk_dhiers[-1])
+
+    merged = merge.merge_hierarchies(chunk_dhiers, np.stack(centers))
+    if output_dir:
+        dhier_io.save_dhier(os.path.join(output_dir, "merged.dhier"), merged)
+    return merged

@@ -1,0 +1,126 @@
+"""Auxiliary subsystem tests: checkpointing, metrics, schedulers, viewer
+protocol round-trip."""
+
+import json
+import socket
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+from hlod_gaussians_tpu.models import gaussians as gm
+from hlod_gaussians_tpu.train import flat, post as post_mod
+from hlod_gaussians_tpu.utils import checkpoint as ckpt, scheduler
+from hlod_gaussians_tpu.utils.metrics import MetricsLogger
+from hlod_gaussians_tpu.viewer.server import ViewerServer
+
+
+def toy_state(cap=64, n=16, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    return gm.create_from_points(pts, cols, capacity=cap, sh_degree=1)
+
+
+def test_checkpoint_roundtrip_flat(tmp_path):
+    ts = flat.init_flat_train(toy_state())
+    import dataclasses
+    ts = dataclasses.replace(ts, step=jnp.int32(42),
+                             max_radii=ts.max_radii + 3.0)
+    p = str(tmp_path / "c.npz")
+    ckpt.save_checkpoint(p, ts)
+    ts2 = ckpt.load_checkpoint(p)
+    assert isinstance(ts2, flat.FlatTrainState)
+    assert int(ts2.step) == 42
+    np.testing.assert_array_equal(np.asarray(ts2.gaussians.xyz),
+                                  np.asarray(ts.gaussians.xyz))
+    np.testing.assert_array_equal(np.asarray(ts2.max_radii),
+                                  np.asarray(ts.max_radii))
+
+
+def test_checkpoint_roundtrip_post(tmp_path):
+    ts = post_mod.init_post_train(toy_state())
+    p = str(tmp_path / "p.npz")
+    ckpt.save_checkpoint(p, ts)
+    ts2 = ckpt.load_checkpoint(p)
+    assert isinstance(ts2, post_mod.PostTrainState)
+    np.testing.assert_array_equal(np.asarray(ts2.gaussians.nodes),
+                                  np.asarray(ts.gaussians.nodes))
+
+
+def test_metrics_logger(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(p)
+    log.log(stage="x", loss=1.5)
+    log.log(stage="y", n=3)
+    log.close()
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[0]["stage"] == "x" and lines[0]["loss"] == 1.5
+    assert lines[1]["n"] == 3
+
+
+def test_scheduler_walk_covers_cameras():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(30, 3))
+    order = scheduler.view_schedule(centers, 30, 600, walk=True)
+    assert order.shape == (600,)
+    assert len(np.unique(order)) >= 25  # walk visits nearly everything
+    # consecutive views are mostly neighbors (cache coherence)
+    nbrs = scheduler.knn_camera_graph(centers, k=8)
+    hits = sum(order[t + 1] in nbrs[order[t]] or order[t + 1] == order[t]
+               for t in range(599))
+    assert hits > 300
+
+
+def test_scheduler_epochs():
+    order = scheduler.view_schedule(None, 10, 25, walk=False)
+    assert order.shape == (25,)
+    counts = np.bincount(order, minlength=10)
+    assert counts.max() - counts.min() <= 1
+
+
+def test_viewer_server_roundtrip():
+    srv = ViewerServer(port=0)
+    port = srv.port
+    W, H = 32, 24
+
+    def render_fn(cam, opts):
+        assert cam.width == W and cam.height == H
+        img = np.full((cam.height, cam.width, 3), 7, np.uint8)
+        return img
+
+    result = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port))
+        msg = dict(resolution_x=W, resolution_y=H, fov_x=0.8, fov_y=0.6,
+                   z_near=0.01, z_far=100.0, train=False, shs_python=False,
+                   rot_scale_python=False, keep_alive=True,
+                   scaling_modifier=1.0, slider={"lod": 0.5},
+                   view_matrix=list(np.eye(4).flatten().astype(float)),
+                   view_projection_matrix=list(np.eye(4).flatten().astype(float)))
+        payload = json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little"))
+        s.sendall(payload)
+        img = b""
+        while len(img) < W * H * 3:
+            img += s.recv(W * H * 3 - len(img))
+        n = int.from_bytes(s.recv(4), "little")
+        verify = s.recv(n).decode()
+        result["img"] = img
+        result["verify"] = verify
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    served = None
+    for _ in range(200):
+        served = srv.poll_once(render_fn)
+        if served is not None:
+            break
+    t.join(timeout=5)
+    srv.close()
+    assert served is not None
+    assert result["verify"] == "hlod_gaussians_tpu"
+    assert len(result["img"]) == W * H * 3
+    assert result["img"][0] == 7
