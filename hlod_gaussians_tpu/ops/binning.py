@@ -111,8 +111,13 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
     rank = slot - offsets_exc[gid]
 
     g_rw = jnp.maximum(rw[gid], 1)
-    tx = min_x[gid] + rank % g_rw
-    ty = min_y[gid] + rank // g_rw
+    # integer div/mod by a VECTOR divisor scalarizes on TPU (~100x slower
+    # than float math); ranks and widths are far below 2^24, so f32 division
+    # is exact enough for a correct floor
+    ty_rel = jnp.floor(rank.astype(jnp.float32)
+                       / g_rw.astype(jnp.float32)).astype(jnp.int32)
+    tx = min_x[gid] + rank - ty_rel * g_rw
+    ty = min_y[gid] + ty_rel
     tile_id = jnp.where(in_range, ty * gw + tx, num_tiles).astype(jnp.int32)
 
     d = jnp.where(in_range, depth[gid], jnp.inf).astype(jnp.float32)
