@@ -1,0 +1,186 @@
+"""Command-line entry points.
+
+The reference exposes its pipeline as a family of argparse scripts
+(scripts/full_train.py, train_*.py, render_hierarchy.py,
+eval_hierarchy_dynamic.py, hierarchy_viewer.py). Here one `python -m
+hlod_gaussians_tpu.cli <command>` front end drives the same stages through
+the library API.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def cmd_full_train(args):
+    from hlod_gaussians_tpu.config import (OptimizationConfig, PostConfig,
+                                           RasterizerConfig)
+    from hlod_gaussians_tpu.data.scene import load_colmap_scene
+    from hlod_gaussians_tpu.pipeline import full_train
+    from hlod_gaussians_tpu.utils.metrics import MetricsLogger
+
+    scene = load_colmap_scene(args.source_path, images_dir=args.images,
+                              depths_dir=args.depths, eval_split=args.eval)
+    pcfg = full_train.PipelineConfig(
+        coarse_iters=args.coarse_iters, chunk_iters=args.chunk_iters,
+        post_iters=args.post_iters, skybox_num=args.skybox_num,
+        chunk_size=args.chunk_size)
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           echo=True)
+    cfg = RasterizerConfig(backend=args.backend, tile_w=16, tile_h=8,
+                           max_dup=1 << args.max_dup_log2)
+    merged = full_train.run_pipeline(
+        scene, output_dir=args.output, pcfg=pcfg, cfg=cfg,
+        opt=OptimizationConfig(), post=PostConfig(), logger=logger)
+    print(f"merged hierarchy: {merged.nodes.shape[0]} nodes -> "
+          f"{os.path.join(args.output, 'merged.dhier')}")
+
+
+def cmd_eval(args):
+    import numpy as np
+
+    from hlod_gaussians_tpu import eval as eval_mod
+    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.data import dhier as dhier_io
+    from hlod_gaussians_tpu.data.scene import load_colmap_scene, load_view
+    from hlod_gaussians_tpu.ops.lpips import make_lpips
+    from hlod_gaussians_tpu.train import post as post_mod
+
+    d = dhier_io.load_dhier(args.hierarchy)
+    cap = 1 << (int(np.ceil(np.log2(d.pos.shape[0] + 1))))
+    state = post_mod.create_from_dhier(d, capacity=cap)
+    scene = load_colmap_scene(args.source_path, images_dir=args.images,
+                              eval_split=True)
+    cams = [load_view(ci) for ci in scene.test_cameras[:args.max_views]]
+    gts = [np.asarray(c.image) for c in cams]
+    levels = [float(x) for x in args.levels.split(",")]
+    results = eval_mod.eval_views(
+        state, cams, gts, levels, level_is_tau=args.tau,
+        cfg=RasterizerConfig(backend=args.backend, tile_w=16, tile_h=8),
+        lpips_fn=make_lpips(args.lpips_weights))
+    for r in results:
+        print(json.dumps(dict(level=r.level, psnr=round(r.psnr, 3),
+                              ssim=round(r.ssim, 4), lpips=r.lpips,
+                              mean_rendered=r.mean_rendered)))
+
+
+def cmd_viewer(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hlod_gaussians_tpu import render as render_mod
+    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.data import dhier as dhier_io
+    from hlod_gaussians_tpu.models import gaussians as gm
+    from hlod_gaussians_tpu.train import post as post_mod
+    from hlod_gaussians_tpu.viewer.server import ViewerServer
+
+    d = dhier_io.load_dhier(args.hierarchy)
+    cap = 1 << (int(np.ceil(np.log2(d.pos.shape[0] + 1))))
+    state = post_mod.create_from_dhier(d, capacity=cap)
+    act = gm.activate(state)
+    cfg = RasterizerConfig(backend=args.backend, tile_w=16, tile_h=8,
+                           max_dup=1 << 20)
+
+    def render_fn(cam, opts):
+        target = float(opts.get("slider", {}).get("granularity", 0.001))
+        out, _ = render_mod.render_lod(
+            act.means3d, act.scales, act.quats, act.opacities, act.shs,
+            state.nodes, state.alive,
+            jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
+            jnp.asarray(cam.campos.astype(np.float32)),
+            jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
+            jnp.zeros(3), max(target, 1e-9),
+            sh_degree=state.sh_degree, width=cam.width, height=cam.height,
+            budget=1 << 19, n_skybox=state.n_skybox, cfg=cfg)
+        img = np.asarray(jnp.clip(out.image, 0, 1))
+        return (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
+
+    srv = ViewerServer(args.host, args.port)
+    print(f"viewer listening on {args.host}:{srv.port}")
+    try:
+        while True:
+            srv.poll_once(render_fn)
+    except KeyboardInterrupt:
+        srv.close()
+
+
+def cmd_create_hierarchy(args):
+    if args.native:
+        from hlod_gaussians_tpu.native import build_hierarchy_file
+        n = build_hierarchy_file(args.input, args.output)
+    else:
+        import numpy as np
+
+        from hlod_gaussians_tpu.data import dhier as dhier_io, ply as ply_io
+        from hlod_gaussians_tpu.hierarchy import build as hb
+
+        g = ply_io.load_gaussian_ply(args.input)
+        scales = np.exp(g.log_scale)
+        ops = 1.0 / (1.0 + np.exp(-g.opacity))
+        shs = np.concatenate([g.f_dc, g.f_rest], axis=1)
+        h = hb.build_hierarchy(g.xyz, scales, g.quat, ops, shs)
+        deg = {1: 0, 4: 1, 9: 2, 16: 3}[shs.shape[1]]
+        dhier_io.save_dhier(args.output, dhier_io.DHier(
+            sh_degree=deg, pos=h.pos, quat=h.quat,
+            log_scale=np.log(np.maximum(h.scale, 1e-12)).astype(np.float32),
+            opacity=np.clip(h.opacity, 1e-4, 1 - 1e-6).astype(np.float32),
+            shs=h.sh.astype(np.float32), nodes=h.nodes))
+        n = h.nodes.shape[0]
+    print(f"wrote {n} nodes -> {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hlod_gaussians_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("full-train", help="end-to-end pipeline")
+    t.add_argument("--source_path", "-s", required=True)
+    t.add_argument("--output", "-o", required=True)
+    t.add_argument("--images", default="images")
+    t.add_argument("--depths", default="")
+    t.add_argument("--eval", action="store_true")
+    t.add_argument("--coarse_iters", type=int, default=30_000)
+    t.add_argument("--chunk_iters", type=int, default=30_000)
+    t.add_argument("--post_iters", type=int, default=15_000)
+    t.add_argument("--skybox_num", type=int, default=100_000)
+    t.add_argument("--chunk_size", type=float, default=100.0)
+    t.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    t.add_argument("--max_dup_log2", type=int, default=21)
+    t.set_defaults(fn=cmd_full_train)
+
+    e = sub.add_parser("eval", help="granularity sweep on the test split")
+    e.add_argument("--hierarchy", required=True)
+    e.add_argument("--source_path", "-s", required=True)
+    e.add_argument("--images", default="images")
+    e.add_argument("--levels", default="0,0.01,0.1")
+    e.add_argument("--tau", action="store_true",
+                   help="interpret levels as tau pixels")
+    e.add_argument("--max_views", type=int, default=50)
+    e.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    e.add_argument("--lpips_weights", default=None)
+    e.set_defaults(fn=cmd_eval)
+
+    v = sub.add_parser("viewer", help="SIBR-compatible live view server")
+    v.add_argument("--hierarchy", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=6009)
+    v.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    v.set_defaults(fn=cmd_viewer)
+
+    c = sub.add_parser("create-hierarchy", help="offline hierarchy build")
+    c.add_argument("input", help="3DGS .ply")
+    c.add_argument("output", help=".dhier path")
+    c.add_argument("--native", action="store_true",
+                   help="use the C++ creator")
+    c.set_defaults(fn=cmd_create_hierarchy)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

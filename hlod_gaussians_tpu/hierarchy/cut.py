@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hlod_gaussians_tpu.models.gaussians import (
     NODE_CHILD_COUNT, NODE_DEPTH, NODE_PARENT)
@@ -168,6 +169,73 @@ def expand_to_size_box(
     kids = jnp.where(has_parent, nodes[parent_c, NODE_CHILD_COUNT], 1)
     kids = jnp.maximum(kids, 1).astype(jnp.int32)
     return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
+
+
+def expand_to_target(nodes: jnp.ndarray, alive: jnp.ndarray,
+                     target_depth: int) -> jnp.ndarray:
+    """Depth-target cut (reference expandToTarget, traversal.cpp:16-44 via
+    expand_to_target): nodes with depth == target, plus leaves shallower
+    than the target. Returns a [C] bool mask."""
+    depth = nodes[:, NODE_DEPTH]
+    is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
+    sel = (depth == target_depth) | (is_leaf & (depth < target_depth))
+    return sel & alive & (depth >= 0)
+
+
+def bounding_sphere_divergence(
+    nodes, pos, max_scale, alive, key, n_samples: int = 1024
+) -> jnp.ndarray:
+    """Monte-Carlo estimate of how much child bounding spheres poke out of
+    their parents' (reference compute_bounding_sphere_divergence,
+    scene/gaussian_model.py:616-634): sample points on each child sphere
+    (radius 3*max_scale) and measure the fraction outside the parent
+    sphere. 0 = perfectly nested."""
+    c = nodes.shape[0]
+    parent = nodes[:, NODE_PARENT]
+    has_parent = (parent >= 0) & alive & (nodes[:, NODE_DEPTH] >= 0)
+    p_idx = jnp.clip(parent, 0, c - 1)
+
+    r_child = 3.0 * max_scale
+    r_parent = 3.0 * max_scale[p_idx]
+    dirs = jax.random.normal(key, (n_samples, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+
+    # sample points on each child sphere: [C, S, 3]
+    pts = pos[:, None, :] + r_child[:, None, None] * dirs[None, :, :]
+    d_parent = jnp.linalg.norm(pts - pos[p_idx][:, None, :], axis=-1)
+    outside = d_parent > r_parent[:, None]
+    frac = jnp.where(has_parent, outside.mean(axis=1), 0.0)
+    denom = jnp.maximum(jnp.sum(has_parent), 1)
+    return jnp.sum(frac) / denom
+
+
+def sanity_check_hierarchy(nodes: np.ndarray, alive: np.ndarray) -> None:
+    """Recursive structural checks (reference sanity_check_hierarchy,
+    scene/gaussian_model.py:637-675): single root, child counts in {0,2+},
+    parent back-pointers, depth monotonicity, full reachability. Raises
+    AssertionError on violation. Host-side numpy."""
+    nodes = np.asarray(nodes)
+    alive = np.asarray(alive)
+    real = alive & (nodes[:, NODE_DEPTH] >= 0)
+    roots = np.where(real & (nodes[:, NODE_PARENT] == -1))[0]
+    assert len(roots) == 1, f"expected 1 root, got {len(roots)}"
+    seen = np.zeros(nodes.shape[0], bool)
+    stack = [int(roots[0])]
+    while stack:
+        i = stack.pop()
+        assert not seen[i], f"node {i} reached twice"
+        assert real[i], f"node {i} in tree but not alive"
+        seen[i] = True
+        cc = nodes[i, NODE_CHILD_COUNT]
+        if cc > 0:
+            c = nodes[i, 3]  # NODE_FIRST_CHILD
+            for _ in range(cc):
+                assert nodes[c, NODE_PARENT] == i, (i, c)
+                assert nodes[c, NODE_DEPTH] > nodes[i, NODE_DEPTH], (i, c)
+                stack.append(int(c))
+                c = nodes[c, 4]  # NODE_NEXT_SIBLING
+    n_real = int(real.sum())
+    assert seen.sum() == n_real, f"reachable {seen.sum()} != alive {n_real}"
 
 
 def is_hierarchy_cut(nodes, mask, alive) -> jnp.ndarray:
