@@ -104,13 +104,17 @@ def expand_to_size_dynamic(
     """Dynamic hierarchy cut + interpolation weights in one pass
     (markNodesForSizeDynamic runtime_switching.cu:533-582 +
     computeTsIndexedDynamic :640-684)."""
+    from hlod_gaussians_tpu.ops import gather_rows
+
     c = nodes.shape[0]
     parent = nodes[:, NODE_PARENT]
     has_parent = parent >= 0
     parent_c = jnp.clip(parent, 0, c - 1)
 
     size = node_size_dynamic(pos, max_scale, viewpoint)
-    parent_size = jnp.where(has_parent, size[parent_c], jnp.inf)
+    p_size, p_kids = gather_rows(
+        [size, nodes[:, NODE_CHILD_COUNT]], parent_c)
+    parent_size = jnp.where(has_parent, p_size, jnp.inf)
 
     is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
     not_skybox = nodes[:, NODE_DEPTH] >= 0
@@ -131,7 +135,7 @@ def expand_to_size_dynamic(
                                     0.0))
     ts = jnp.where(~has_parent | (parent_size > 2.0 * target_size), 1.0, t_inner)
 
-    kids = jnp.where(has_parent, nodes[parent_c, NODE_CHILD_COUNT], 1)
+    kids = jnp.where(has_parent, p_kids, 1)
     kids = jnp.maximum(kids, 1).astype(jnp.int32)
     return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
 

@@ -278,11 +278,16 @@ def spt_cut(
     dist = jnp.linalg.norm(forest.spt_root_xyz - campos, axis=-1)
     dist = dist * distance_multiplier
 
-    # dense entry selection: max > d AND min < d for the owning SPT
-    d_e = dist[forest.entry_spt]
-    sel_e = (spt_sel[forest.entry_spt]
+    # dense entry selection: max > d AND min < d for the owning SPT.
+    # per-SPT lookups via one stacked 2-D gather; the [C] mask scatter keeps
+    # a leading unit row for the fast scatter path (see ops/binning.py).
+    from hlod_gaussians_tpu.ops import gather_rows
+    d_e, sel_f = gather_rows([dist, spt_sel.astype(jnp.float32)],
+                             forest.entry_spt)
+    sel_e = ((sel_f > 0.5)
              & (forest.entry_max > d_e) & (forest.entry_min < d_e))
-    mask = mask.at[jnp.where(sel_e, forest.entry_gid, c)].set(True, mode="drop")
+    mask = mask[None].at[:, jnp.where(sel_e, forest.entry_gid, c)].set(
+        True, mode="drop")[0]
 
     return SPTCut(gaussian_mask=mask, spt_selected=spt_sel,
                   spt_distance=dist, n_selected=jnp.sum(mask))

@@ -75,23 +75,37 @@ def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
     aligned_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
 
-    # rank of each entry within its tile
+    # rank of each entry within its tile; both per-tile lookups via one
+    # stacked 2-D gather (1-D gathers scalarize on TPU)
     pos = jnp.arange(max_dup, dtype=jnp.int32)
     tile = bins.sorted_tile
     in_range = tile < num_tiles
     tile_c = jnp.clip(tile, 0, num_tiles - 1)
-    rank = pos - bins.tile_starts[tile_c]
-    dst = jnp.where(in_range, aligned_starts[tile_c] + rank, cap)
+    tbl = jnp.stack([aligned_starts, bins.tile_starts], axis=0)   # [2, NT]
+    gtb = jax.lax.optimization_barrier(tbl[:, tile_c])
+    rank = pos - gtb[1]
+    dst = jnp.where(in_range, gtb[0] + rank, cap)
 
-    entry_gid = jnp.zeros((cap,), jnp.int32).at[dst].set(
-        bins.sorted_gid, mode="drop")
+    # 2-D scatter (leading unit row) keeps the fast scatter path
+    entry_gid = jnp.zeros((1, cap), jnp.int32).at[:, dst].set(
+        bins.sorted_gid[None], mode="drop")[0]
     return AlignedBins(entry_gid=entry_gid, tile_starts=aligned_starts,
                        tile_counts=bins.tile_counts, overflow=bins.overflow)
 
 
 def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
                   tile_w: int, tile_h: int, max_dup: int) -> TileBins:
-    """Build the sorted (tile, depth) dup list with static shapes."""
+    """Build the sorted (tile, depth) dup list with static shapes.
+
+    TPU notes: all per-gaussian lookups go through ONE stacked [K, N]
+    gather — separate 1-D gathers lower to a scalarized fusion that is
+    ~12x slower at 2M entries; likewise integer div/mod by vector divisors
+    scalarizes, so the rect decomposition runs in (exact) f32. The dup-list
+    expansion is a searchsorted over the cumulative-counts table instead of
+    jnp.repeat's internal gather chain, and tile ranges come from a
+    segment-sum + exclusive cumsum over the sorted tile ids instead of two
+    large searchsorted calls.
+    """
     n = xy.shape[0]
     gw, gh = tile_grid(width, height, tile_w, tile_h)
     num_tiles = gw * gh
@@ -101,34 +115,42 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
 
     offsets = jnp.cumsum(touched)
     total = offsets[-1]
-    offsets_exc = offsets - touched
+    offsets_exc = (offsets - touched).astype(jnp.float32)
     overflow = total > max_dup
 
-    gid = jnp.repeat(jnp.arange(n, dtype=jnp.int32), touched,
-                     total_repeat_length=max_dup)
     slot = jnp.arange(max_dup, dtype=jnp.int32)
+    # dup slot -> source gaussian (a jnp.searchsorted over the cumulative
+    # counts would be 17 rounds of scalarizing 1-D gathers; repeat is faster)
+    gid_c = jnp.repeat(jnp.arange(n, dtype=jnp.int32), touched,
+                       total_repeat_length=max_dup)
+
+    attrs = jnp.stack([
+        offsets_exc, min_x.astype(jnp.float32), min_y.astype(jnp.float32),
+        jnp.maximum(rw, 1).astype(jnp.float32), depth.astype(jnp.float32),
+    ], axis=0)                                   # [5, N]
+    g = jax.lax.optimization_barrier(attrs[:, gid_c])   # one fast 2-D gather
+
     in_range = slot < total
-    rank = slot - offsets_exc[gid]
+    rank = slot.astype(jnp.float32) - g[0]
+    g_rw = g[3]
+    ty_rel = jnp.floor(rank / g_rw)
+    tx = g[1] + rank - ty_rel * g_rw
+    ty = g[2] + ty_rel
+    tile_id = jnp.where(in_range, ty * gw + tx,
+                        float(num_tiles)).astype(jnp.int32)
 
-    g_rw = jnp.maximum(rw[gid], 1)
-    # integer div/mod by a VECTOR divisor scalarizes on TPU (~100x slower
-    # than float math); ranks and widths are far below 2^24, so f32 division
-    # is exact enough for a correct floor
-    ty_rel = jnp.floor(rank.astype(jnp.float32)
-                       / g_rw.astype(jnp.float32)).astype(jnp.int32)
-    tx = min_x[gid] + rank - ty_rel * g_rw
-    ty = min_y[gid] + ty_rel
-    tile_id = jnp.where(in_range, ty * gw + tx, num_tiles).astype(jnp.int32)
+    d = jnp.where(in_range, g[4], jnp.inf)
+    sorted_tile, _, sorted_gid = jax.lax.sort((tile_id, d, gid_c), num_keys=2)
 
-    d = jnp.where(in_range, depth[gid], jnp.inf).astype(jnp.float32)
-    sorted_tile, _, sorted_gid = jax.lax.sort((tile_id, d, gid), num_keys=2)
-
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    ones = jnp.where(in_range, 1, 0)
+    counts_all = jax.ops.segment_sum(ones, tile_id,
+                                     num_segments=num_tiles + 1,
+                                     indices_are_sorted=False)
+    tile_counts = counts_all[:num_tiles].astype(jnp.int32)
+    tile_starts = (jnp.cumsum(tile_counts) - tile_counts).astype(jnp.int32)
 
     return TileBins(sorted_gid=sorted_gid, sorted_tile=sorted_tile,
                     tile_starts=tile_starts,
-                    tile_counts=tile_ends - tile_starts,
+                    tile_counts=tile_counts,
                     num_dup=jnp.minimum(total, max_dup),
                     overflow=overflow)
