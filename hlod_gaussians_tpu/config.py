@@ -140,6 +140,41 @@ class PostConfig:
     grow_fraction: float = 0.05     # add_new_gs growth per round (gaussian_model.py:1703)
 
 
+def save_config(path: str, **configs) -> None:
+    """Persist config dataclasses to JSON (the reference's `cfg_args` dump,
+    train_single.py:194-206): {"ModelConfig": {...}, ...}."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    out = {type(c).__name__: dataclasses.asdict(c) for c in configs.values()}
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, default=float)
+
+
+def load_config(path: str, overrides: Optional[dict] = None) -> dict:
+    """Load saved configs, re-applying CLI-style overrides on top (the
+    reference's get_combined_args merge, arguments/__init__.py:187-207).
+    Returns {class_name: instance}."""
+    import json
+
+    classes = {c.__name__: c for c in (ModelConfig, PipelineConfig,
+                                       OptimizationConfig, RasterizerConfig,
+                                       PostConfig, MeshConfig)}
+    with open(path) as f:
+        raw = json.load(f)
+    out = {}
+    for name, kv in raw.items():
+        cls = classes.get(name)
+        if cls is None:
+            continue
+        if overrides and name in overrides:
+            kv = {**kv, **overrides[name]}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        out[name] = cls(**{k: v for k, v in kv.items() if k in fields})
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout for multi-chip training.

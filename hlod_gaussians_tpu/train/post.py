@@ -228,6 +228,24 @@ def post_train_step(
     new_params, adam = optim.sparse_adam_update(params, grads, ts.adam, lrs,
                                                 visible=visible)
 
+    if post.mcmc_noise_lr > 0:
+        # covariance-shaped exploration noise on low-opacity working-set
+        # rows (3DGS-as-MCMC; reference train_post.py:869-885):
+        #   noise = Sigma @ randn * sigmoid(-100*(opacity - 0.995)) * lr
+        from hlod_gaussians_tpu.ops import gaussian_math, quaternion
+        key = jax.random.fold_in(jax.random.PRNGKey(0), ts.step)
+        op = jax.nn.sigmoid(new_params["opacity_logit"][:, 0])
+        gate = jax.nn.sigmoid(-100.0 * (op - 0.995))
+        eps = jax.random.normal(key, new_params["xyz"].shape)
+        cov = gaussian_math.unpack_cov3d(gaussian_math.compute_cov3d(
+            jnp.exp(new_params["log_scale"]),
+            quaternion.normalize(new_params["quat"])))
+        shaped = jnp.einsum("nij,nj->ni", cov, eps)
+        mask = (visible & (~sky))[:, None]
+        new_params = dict(new_params, xyz=new_params["xyz"] + jnp.where(
+            mask, shaped * gate[:, None] * post.mcmc_noise_lr * lrs["xyz"],
+            0.0))
+
     new_ts = PostTrainState(gaussians=g.replace_params(new_params), adam=adam,
                             step=ts.step + 1)
     aux = PostAux(loss=loss, l1=l1, ssim=ssim_v,

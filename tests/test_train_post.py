@@ -130,3 +130,30 @@ def test_mcmc_regularizers_change_loss():
         return float(aux.loss)
 
     assert run(0.5) > run(0.0)
+
+
+def test_mcmc_noise_perturbs_low_opacity():
+    d = build_dhier()
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.9, W, H)
+    gt = jnp.zeros((3, H, W))
+
+    def run(noise_lr):
+        st = post_mod.create_from_dhier(d, capacity=256, skybox_num=0)
+        # make everything low-opacity so the noise gate opens
+        st = dataclasses.replace(
+            st, opacity_logit=jnp.where(st.alive[:, None], -3.0,
+                                        st.opacity_logit))
+        mask = st.alive.copy()
+        ts = post_mod.init_post_train(st)
+        ts2, _ = post_mod.post_train_step(
+            ts, mask, cam.world_view, cam.full_proj, cam.campos,
+            cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3), 1.0,
+            post=PostConfig(mcmc_noise_lr=noise_lr, lambda_opacity=0.0),
+            cfg=CFG, width=W, height=H, k_max=256, sh_degree=1,
+            antialiasing=False)
+        return np.asarray(ts2.gaussians.xyz)
+
+    x0 = run(0.0)
+    x1 = run(5e5)
+    assert not np.allclose(x0, x1)
+    assert np.isfinite(x1).all()
