@@ -145,3 +145,24 @@ def test_chunk_parallel_matches_individual():
                                    float(jnp.abs(gtb[i]).mean()) * 0 +
                                    float(auxb.loss[i]))  # finite check below
     assert np.isfinite(np.asarray(auxb.loss)).all()
+
+
+def test_tile_parallel_matches_single_device():
+    """Tile-banded rendering over 4 devices == single-device render."""
+    from hlod_gaussians_tpu import render as render_mod
+    from hlod_gaussians_tpu.parallel import tile_parallel as tp
+
+    state, cam = toy(seed=7, n=64)
+    act = gm.activate(state)
+    args = (act.means3d, act.scales, act.quats, act.opacities, act.shs,
+            act.valid, cam.world_view, cam.full_proj, cam.campos,
+            cam.tan_fovx, cam.tan_fovy, jnp.zeros(3))
+    ref = render_mod.render_arrays(
+        *args, sh_degree=1, width=W, height=H, cfg=CFG, k_max=256).image
+
+    # H=32 with 16px tiles -> 2 tile rows -> 2-device band split
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:2]), ("tile",))
+    img = tp.render_tile_parallel(
+        *args[:11], jnp.zeros(3), mesh, sh_degree=1, width=W, height=H,
+        cfg=CFG, k_max=256)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
