@@ -300,10 +300,6 @@ def _backward_kernel(starts_ref, counts_ref,
     def _():
         dma_in(0, n_chunks - 1).start()
 
-    # chunks past the deepest contributing entry of this tile carry no
-    # gradients; their math is skipped (their zero grads still get written)
-    nc_max = jnp.max(n_contrib)
-
     def body(ci, carry):
         logT_end, s0, s1, s2, s3 = carry      # suffix color sums [1, PIX]
         c = n_chunks - 1 - ci
@@ -314,84 +310,75 @@ def _backward_kernel(starts_ref, counts_ref,
             dma_in((ci + 1) % 2, jnp.maximum(c - 1, 0)).start()
         dma_in(slot, c).wait()
 
-        def compute(carry):
-            logT_end, s0, s1, s2, s3 = carry
-            chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
-            alpha, pre, aux = _chunk_alpha(
-                chunk, pxf, pyf, count, c * CHUNK,
-                alpha_min=alpha_min, use_lod=use_lod)
-            alpha = alpha * inside.astype(jnp.float32)
+        chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
+        alpha, pre, aux = _chunk_alpha(
+            chunk, pxf, pyf, count, c * CHUNK,
+            alpha_min=alpha_min, use_lod=use_lod)
+        alpha = alpha * inside.astype(jnp.float32)
 
-            applied = (alpha > 0.0) & (aux["k"] + 1 <= n_contrib)
-            a = jnp.where(applied, alpha, 0.0)
-            one_m = 1.0 - a
-            lg = jnp.log1p(-a)
+        applied = (alpha > 0.0) & (aux["k"] + 1 <= n_contrib)
+        a = jnp.where(applied, alpha, 0.0)
+        one_m = 1.0 - a
+        lg = jnp.log1p(-a)
 
-            chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
-            logT_start = logT_end - chunk_sum
-            log_before = logT_start + _mm(tril, lg)
-            t_before = jnp.exp(log_before)                    # [CHUNK, PIX]
-            contrib = a * t_before
+        chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
+        logT_start = logT_end - chunk_sum
+        log_before = logT_start + _mm(tril, lg)
+        t_before = jnp.exp(log_before)                        # [CHUNK, PIX]
+        contrib = a * t_before
 
-            col = lambda i: chunk[:, i:i + 1]
-            cr, cg, cb, cd = col(_ER), col(_EG), col(_EB), col(_EID)
+        col = lambda i: chunk[:, i:i + 1]
+        cr, cg, cb, cd = col(_ER), col(_EG), col(_EB), col(_EID)
 
-            # per-entry color grads (reduce over lanes)
-            dcr = jnp.sum(contrib * g0, axis=1, keepdims=True)
-            dcg = jnp.sum(contrib * g1, axis=1, keepdims=True)
-            dcb = jnp.sum(contrib * g2, axis=1, keepdims=True)
-            dcd = jnp.sum(contrib * g3, axis=1, keepdims=True)
+        # per-entry color grads (reduce over lanes)
+        dcr = jnp.sum(contrib * g0, axis=1, keepdims=True)
+        dcg = jnp.sum(contrib * g1, axis=1, keepdims=True)
+        dcb = jnp.sum(contrib * g2, axis=1, keepdims=True)
+        dcd = jnp.sum(contrib * g3, axis=1, keepdims=True)
 
-            # suffix color sums: Suf_k = sum_{j>k} c_j * contrib_j (+ carry)
-            suf0 = _mm(usq, cr * contrib) + s0
-            suf1 = _mm(usq, cg * contrib) + s1
-            suf2 = _mm(usq, cb * contrib) + s2
-            suf3 = _mm(usq, cd * contrib) + s3
+        # suffix color sums: Suf_k = sum_{j>k} c_j * contrib_j  (+ carry)
+        suf0 = _mm(usq, cr * contrib) + s0
+        suf1 = _mm(usq, cg * contrib) + s1
+        suf2 = _mm(usq, cb * contrib) + s2
+        suf3 = _mm(usq, cd * contrib) + s3
 
-            # dL/dalpha (backward.cu:606-634)
-            dal = (cr * g0 + cg * g1 + cb * g2 + cd * g3) * t_before
-            dal = dal - (suf0 * g0 + suf1 * g1 + suf2 * g2 + suf3 * g3) / one_m
-            dal = dal - dT_total * final_t / one_m
-            dal = jnp.where(applied, dal, 0.0)
+        # dL/dalpha (backward.cu:606-634)
+        dal = (cr * g0 + cg * g1 + cb * g2 + cd * g3) * t_before
+        dal = dal - (suf0 * g0 + suf1 * g1 + suf2 * g2 + suf3 * g3) / one_m
+        dal = dal - dT_total * final_t / one_m
+        dal = jnp.where(applied, dal, 0.0)
 
-            dmy = dal * aux["dalpha_dmy"]
-            not_clipped = aux["opG"] < 0.99
-            dop_px = jnp.where(not_clipped, aux["G"] * dmy, 0.0)
-            dpower = jnp.where(not_clipped, aux["opG"] * dmy, 0.0)
+        dmy = dal * aux["dalpha_dmy"]
+        not_clipped = aux["opG"] < 0.99
+        dop_px = jnp.where(not_clipped, aux["G"] * dmy, 0.0)
+        dpower = jnp.where(not_clipped, aux["opG"] * dmy, 0.0)
 
-            dx, dy = aux["dx"], aux["dy"]
-            dop = jnp.sum(dop_px, axis=1, keepdims=True)
-            dcxx = jnp.sum(-0.5 * dx * dx * dpower, axis=1, keepdims=True)
-            dcxy = jnp.sum(-dx * dy * dpower, axis=1, keepdims=True)
-            dcyy = jnp.sum(-0.5 * dy * dy * dpower, axis=1, keepdims=True)
-            dgx = jnp.sum(-(aux["cxx"] * dx + aux["cxy"] * dy) * dpower,
-                          axis=1, keepdims=True)
-            dgy = jnp.sum(-(aux["cyy"] * dy + aux["cxy"] * dx) * dpower,
-                          axis=1, keepdims=True)
+        dx, dy = aux["dx"], aux["dy"]
+        dop = jnp.sum(dop_px, axis=1, keepdims=True)
+        dcxx = jnp.sum(-0.5 * dx * dx * dpower, axis=1, keepdims=True)
+        dcxy = jnp.sum(-dx * dy * dpower, axis=1, keepdims=True)
+        dcyy = jnp.sum(-0.5 * dy * dy * dpower, axis=1, keepdims=True)
+        dgx = jnp.sum(-(aux["cxx"] * dx + aux["cxy"] * dy) * dpower,
+                      axis=1, keepdims=True)
+        dgy = jnp.sum(-(aux["cyy"] * dy + aux["cxy"] * dx) * dpower,
+                      axis=1, keepdims=True)
 
-            zeros = jnp.zeros((CHUNK, N_GRAD_COLS - 10), jnp.float32)
-            g16 = jnp.concatenate(
-                [dgx, dgy, dcxx, dcxy, dcyy, dop, dcr, dcg, dcb, dcd, zeros],
-                axis=1)
-            s0n = s0 + jnp.sum(cr * contrib, axis=0, keepdims=True)
-            s1n = s1 + jnp.sum(cg * contrib, axis=0, keepdims=True)
-            s2n = s2 + jnp.sum(cb * contrib, axis=0, keepdims=True)
-            s3n = s3 + jnp.sum(cd * contrib, axis=0, keepdims=True)
-            return (logT_start, s0n, s1n, s2n, s3n), jnp.transpose(g16)
-
-        def skip(carry):
-            return carry, jnp.zeros((N_GRAD_COLS, CHUNK), jnp.float32)
-
-        needed = c * CHUNK < nc_max
-        carry2, gout = jax.lax.cond(needed, compute, skip,
-                                    (logT_end, s0, s1, s2, s3))
-        grad_vmem[...] = gout
+        zeros = jnp.zeros((CHUNK, N_GRAD_COLS - 10), jnp.float32)
+        g16 = jnp.concatenate(
+            [dgx, dgy, dcxx, dcxy, dcyy, dop, dcr, dcg, dcb, dcd, zeros],
+            axis=1)
+        grad_vmem[...] = jnp.transpose(g16)           # [16, CHUNK]
         off_out = pl.multiple_of(start + c * CHUNK, CHUNK)
         out = pltpu.make_async_copy(
             grad_vmem, egrad_hbm.at[:, pl.ds(off_out, CHUNK)], osem)
         out.start()
         out.wait()
-        return carry2
+
+        s0n = s0 + jnp.sum(cr * contrib, axis=0, keepdims=True)
+        s1n = s1 + jnp.sum(cg * contrib, axis=0, keepdims=True)
+        s2n = s2 + jnp.sum(cb * contrib, axis=0, keepdims=True)
+        s3n = s3 + jnp.sum(cd * contrib, axis=0, keepdims=True)
+        return logT_start, s0n, s1n, s2n, s3n
 
     z = jnp.zeros((1, PIX), jnp.float32)
     safe_ft = jnp.maximum(final_t, 1e-30)

@@ -1,0 +1,109 @@
+"""Out-of-core (host-offloaded) training tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hlod_gaussians_tpu.config import OptimizationConfig, PostConfig, RasterizerConfig
+from hlod_gaussians_tpu.models import gaussians as gm
+from hlod_gaussians_tpu.train import offload
+from hlod_gaussians_tpu.utils.camera import make_camera
+
+W = H = 48
+CFG = RasterizerConfig(tile_w=16, tile_h=16, max_dup=4096)
+
+
+def toy(cap=256, n=48, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    cols = rng.random((n, 3)).astype(np.float32)
+    st = gm.create_from_points(pts, cols, capacity=cap, sh_degree=1,
+                               opacity_init=0.7)
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.9, W, H)
+    return st, cam
+
+
+def test_host_store_roundtrip():
+    st, _ = toy()
+    store = offload.to_host_store(st)
+    assert store.params["xyz"].sharding.memory_kind == offload.host_memory_kind()
+    st2, adam2 = offload.from_host_store(store, st)
+    np.testing.assert_array_equal(np.asarray(st2.xyz), np.asarray(st.xyz))
+
+
+def test_offloaded_step_updates_only_working_set():
+    st, cam = toy()
+    xyz0 = np.array(st.xyz)
+    dc0 = np.array(st.f_dc)
+    store = offload.to_host_store(st)
+
+    # working set = first half of the live rows
+    mask = np.zeros(st.capacity, bool)
+    mask[:24] = True
+    idx, valid = offload.cut_to_indices(jnp.asarray(mask), budget=64)
+
+    gt = jnp.full((3, H, W), 0.5)
+    step = offload.make_offloaded_step(cfg=CFG, width=W, height=H,
+                                       k_max=128, sh_degree=1,
+                                       scene_extent=2.0)
+    store2, loss, n_vis = step(
+        store, idx, valid, cam.world_view, cam.full_proj, cam.campos,
+        cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3))
+    assert np.isfinite(float(loss))
+    assert int(n_vis) > 0
+
+    new_dc = np.asarray(store2.params["f_dc"])
+    # rows outside the working set untouched
+    np.testing.assert_array_equal(new_dc[24:], dc0[24:])
+    # some working-set rows were optimized
+    assert not np.allclose(new_dc[:24], dc0[:24])
+
+
+def test_offloaded_matches_resident_step():
+    """Out-of-core step == HBM-resident post step on the same working set."""
+    from hlod_gaussians_tpu.train import post as post_mod
+
+    st, cam = toy(seed=3)
+    gt = jnp.full((3, H, W), 0.3)
+    mask_np = np.array(st.alive)
+    opt = OptimizationConfig()
+    post = PostConfig(lambda_opacity=0.01)
+
+    # resident reference
+    st_res, _ = toy(seed=3)
+    ts = post_mod.init_post_train(st_res)
+    ts2, aux = post_mod.post_train_step(
+        ts, jnp.asarray(mask_np), cam.world_view, cam.full_proj, cam.campos,
+        cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3), 2.0,
+        opt=opt, post=post, cfg=CFG, width=W, height=H, k_max=128,
+        sh_degree=1, antialiasing=False)
+
+    # offloaded
+    st_off, _ = toy(seed=3)
+    store = offload.to_host_store(st_off)
+    idx, valid = offload.cut_to_indices(jnp.asarray(mask_np), budget=64)
+    step = offload.make_offloaded_step(opt=opt, post=post, cfg=CFG,
+                                       width=W, height=H, k_max=128,
+                                       sh_degree=1, scene_extent=2.0)
+    store2, loss, _ = step(
+        store, idx, valid, cam.world_view, cam.full_proj, cam.campos,
+        cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3))
+
+    np.testing.assert_allclose(float(loss), float(aux.loss), rtol=1e-5)
+    live = mask_np
+    np.testing.assert_allclose(
+        np.asarray(store2.params["xyz"])[live],
+        np.asarray(ts2.gaussians.xyz)[live], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(store2.params["opacity_logit"])[live],
+        np.asarray(ts2.gaussians.opacity_logit)[live], atol=1e-6)
+
+
+def test_reuse_diff_rule():
+    prev = jnp.asarray([10.0, 20.0, 30.0])
+    new = jnp.asarray([10.5, 40.0, 30.0])
+    keep = offload.reuse_diff(None, prev, new, rtol=0.9)
+    assert bool(keep[0]) and not bool(keep[1]) and bool(keep[2])
