@@ -5,3 +5,4 @@ from hlod_gaussians_tpu.train.flat import (  # noqa: F401
     densify_step,
     reset_opacity,
 )
+from hlod_gaussians_tpu.train import coarse, offload, post  # noqa: F401
