@@ -9,7 +9,6 @@ the quirk inherited from upstream 3DGS.
 
 from __future__ import annotations
 
-import io
 from typing import NamedTuple, Optional
 
 import numpy as np

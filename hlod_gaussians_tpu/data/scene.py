@@ -8,7 +8,6 @@ NeRF++-style scene extent.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import List, NamedTuple, Optional, Sequence
 

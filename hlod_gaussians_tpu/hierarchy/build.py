@@ -36,9 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hlod_gaussians_tpu.models.gaussians import (
-    NODE_AUX, NODE_CHILD_COUNT, NODE_DEPTH, NODE_FIRST_CHILD, NODE_PARENT,
-    NODE_NEXT_SIBLING)
 from hlod_gaussians_tpu.ops import gaussian_math, quaternion
 
 

@@ -23,7 +23,6 @@ scene/gaussian_model.py:109-345 + runtime_switching.cu:784-994):
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional
 

@@ -17,7 +17,6 @@ torch is available on some other machine.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable, Dict, List, Optional
 

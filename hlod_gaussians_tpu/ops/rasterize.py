@@ -12,7 +12,7 @@ per-Gaussian arrays — replacing the CUDA backward's global atomics
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -45,7 +45,6 @@ pixel axis lives entirely on the 128 VPU lanes; default 16x8.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

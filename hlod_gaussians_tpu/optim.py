@@ -20,11 +20,9 @@ Bias correction uses the global step count, matching the reference (a shared
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import Callable, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 from hlod_gaussians_tpu.config import OptimizationConfig

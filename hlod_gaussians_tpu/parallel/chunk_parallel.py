@@ -17,7 +17,6 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hlod_gaussians_tpu.config import OptimizationConfig, RasterizerConfig

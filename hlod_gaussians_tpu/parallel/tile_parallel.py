@@ -18,8 +18,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from hlod_gaussians_tpu.config import RasterizerConfig
 from hlod_gaussians_tpu.ops import gaussian_math, sh as sh_ops

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from typing import Callable, List, Optional, Sequence
 
 import jax

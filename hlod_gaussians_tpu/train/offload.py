@@ -23,11 +23,9 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hlod_gaussians_tpu import optim, render as render_mod
 from hlod_gaussians_tpu.config import OptimizationConfig, PostConfig, RasterizerConfig
-from hlod_gaussians_tpu.models import gaussians as gm
 from hlod_gaussians_tpu.models.gaussians import GaussianState
 from hlod_gaussians_tpu.ops import ssim as ssim_ops
 

@@ -11,7 +11,6 @@ data/dhier.py instead.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Optional, Union
