@@ -132,11 +132,16 @@ def _offloaded_post_step(
     idx_c = jnp.clip(idx, 0, cap - 1)
     idx_h = jax.device_put(idx_c, host)
 
-    # [LOAD] host-space gather, DMA only the working set to HBM
-    rows = {k: jax.device_put(store.params[k][idx_h], dev)
-            for k in _ROW_KEYS}
-    m_rows = {k: jax.device_put(store.m[k][idx_h], dev) for k in _ROW_KEYS}
-    v_rows = {k: jax.device_put(store.v[k][idx_h], dev) for k in _ROW_KEYS}
+    # [LOAD] host-space gather, DMA only the working set to HBM.
+    # promise_in_bounds: indices are pre-clipped on device; XLA's host
+    # offload legalizer only supports plain gathers (bounds-check compare
+    # ops in host space hard-fail inside host_offload_utils).
+    def hgather(x):
+        return jax.device_put(x.at[idx_h].get(mode="promise_in_bounds"), dev)
+
+    rows = {k: hgather(store.params[k]) for k in _ROW_KEYS}
+    m_rows = {k: hgather(store.m[k]) for k in _ROW_KEYS}
+    v_rows = {k: hgather(store.v[k]) for k in _ROW_KEYS}
 
     def loss_fn(p):
         q = p["quat"] / jnp.linalg.norm(p["quat"], axis=-1,
@@ -176,7 +181,7 @@ def _offloaded_post_step(
         v = jnp.where(idx_valid.reshape((-1,) + (1,) * (upd.ndim - 1)),
                       upd, old)
         v_h = jax.device_put(v, host)
-        return x_host.at[idx_h].set(v_h)
+        return x_host.at[idx_h].set(v_h, mode="promise_in_bounds")
 
     new_params = {k: wb(store.params[k], new_rows[k], rows[k])
                   for k in _ROW_KEYS}
