@@ -1,0 +1,94 @@
+"""Hierarchical-cut render benchmark: the north-star LOD path at 1080p.
+
+Builds a ~1M-node merge hierarchy from 512k synthetic leaves, then times
+`render_lod` (granularity cut -> parent interpolation -> LOD-alpha blend)
+across tau levels. Prints one JSON line per tau.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hlod_gaussians_tpu import render as render_mod
+    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.hierarchy import build as hb
+    from hlod_gaussians_tpu.utils.camera import make_camera
+
+    width, height = 1920, 1080
+    n_leaves = 1 << 19
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n_leaves, 3)).astype(np.float32) * 10.0
+    pts[:, 2] += 30.0
+    scales = np.exp(rng.normal(size=(n_leaves, 3)) * 0.3 - 3.2).astype(np.float32)
+    quats = rng.normal(size=(n_leaves, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    ops = rng.uniform(0.3, 0.9, n_leaves).astype(np.float32)
+    shs = rng.normal(size=(n_leaves, 1, 3)).astype(np.float32) * 0.3
+
+    t0 = time.perf_counter()
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    t_build = time.perf_counter() - t0
+    m = h.nodes.shape[0]
+    print(json.dumps({"metric": "hierarchy_build", "value": round(t_build, 2),
+                      "unit": f"s for {m} nodes"}))
+
+    cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=0.8,
+                      width=width, height=height)
+    cfg = RasterizerConfig(backend="pallas", tile_w=16, tile_h=8,
+                           max_dup=1 << 21)
+
+    pos = jnp.asarray(h.pos)
+    scale = jnp.asarray(h.scale)
+    quat = jnp.asarray(h.quat)
+    op = jnp.asarray(np.clip(h.opacity, 0, 1))
+    sh = jnp.asarray(h.sh)
+    nodes = jnp.asarray(h.nodes)
+    alive = jnp.ones((m,), bool)
+
+    for tau in (0.0, 3.0, 6.0, 15.0):
+        target = float(render_mod.tau_to_threshold(tau, float(cam.tan_fovx),
+                                                   width))
+        def run():
+            out, n_sel = render_mod.render_lod(
+                pos, scale, quat, op, sh, nodes, alive,
+                cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9),
+                sh_degree=0, width=width, height=height,
+                budget=1 << 20, cfg=cfg, k_max=512, use_frustum=False)
+            return out.image, n_sel
+
+        img, n_sel = run()
+        jax.block_until_ready(img)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            img, n_sel = run()
+        jax.block_until_ready(img)
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": f"lod_render_1080p_tau{tau:g}",
+            "value": round(width * height / dt / 1e6, 2),
+            "unit": "Mpix/s",
+            "fps": round(1.0 / dt, 1),
+            "n_rendered": int(n_sel)}))
+
+
+if __name__ == "__main__":
+    main()

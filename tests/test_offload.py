@@ -107,3 +107,39 @@ def test_reuse_diff_rule():
     new = jnp.asarray([10.5, 40.0, 30.0])
     keep = offload.reuse_diff(None, prev, new, rtol=0.9)
     assert bool(keep[0]) and not bool(keep[1]) and bool(keep[2])
+
+
+def test_numpy_offloaded_matches_resident():
+    """The numpy-backed paging loop == the HBM-resident post step."""
+    from hlod_gaussians_tpu.train import post as post_mod
+
+    st, cam = toy(seed=9)
+    gt = jnp.full((3, H, W), 0.3)
+    mask_np = np.array(st.alive)
+    opt = OptimizationConfig()
+    post = PostConfig(lambda_opacity=0.01)
+
+    st_res, _ = toy(seed=9)
+    ts = post_mod.init_post_train(st_res)
+    ts2, aux = post_mod.post_train_step(
+        ts, jnp.asarray(mask_np), cam.world_view, cam.full_proj, cam.campos,
+        cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3), 2.0,
+        opt=opt, post=post, cfg=CFG, width=W, height=H, k_max=128,
+        sh_degree=1, antialiasing=False)
+
+    st_off, _ = toy(seed=9)
+    store = offload.to_numpy_store(st_off)
+    idx_np = np.where(mask_np)[0].astype(np.int32)
+    pad = np.full(64 - len(idx_np), store.capacity, np.int32)
+    idx_np = np.concatenate([idx_np, pad])
+    step = offload.make_numpy_offloaded_step(
+        opt=opt, post=post, cfg=CFG, width=W, height=H, k_max=128,
+        sh_degree=1, scene_extent=2.0)
+    loss, n_vis = step(store, idx_np, cam.world_view, cam.full_proj,
+                       cam.campos, cam.tan_fovx, cam.tan_fovy, gt,
+                       jnp.zeros(3))
+    np.testing.assert_allclose(float(loss), float(aux.loss), rtol=1e-5)
+    live = mask_np
+    np.testing.assert_allclose(store.params["xyz"][live],
+                               np.asarray(ts2.gaussians.xyz)[live], atol=1e-6)
+    assert store.step == 1
