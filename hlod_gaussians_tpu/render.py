@@ -176,7 +176,8 @@ def render_lod(
     sel_valid = idx < c
     idx_c = jnp.clip(idx, 0, c - 1)
 
-    parent = jnp.clip(nodes[idx_c, 1], 0, c - 1)  # NODE_PARENT
+    from hlod_gaussians_tpu.models.gaussians import NODE_PARENT
+    parent = jnp.clip(nodes[idx_c, NODE_PARENT], 0, c - 1)
     ts_sel = cut.ts[idx_c]
     kids_sel = cut.kids[idx_c]
 

@@ -215,3 +215,44 @@ def test_kd_split_is_median_partition():
     left, right = leaves_under(c0), leaves_under(c1)
     assert len(left) == 32 and len(right) == 32
     assert means[left, 0].max() <= means[right, 0].min() + 1e-6
+
+
+def test_sym_eigh3_matches_lapack():
+    """Analytic 3x3 eigensolver == jnp.linalg.eigh on random PSD matrices."""
+    rng = np.random.default_rng(13)
+    b = rng.normal(size=(256, 3, 3)).astype(np.float64)
+    a = b @ np.transpose(b, (0, 2, 1)) + 1e-8 * np.eye(3)
+    ev_ref, vec_ref = np.linalg.eigh(a)
+    ev, vec = hb.sym_eigh3(jnp.asarray(a, jnp.float32))
+    ev, vec = np.asarray(ev), np.asarray(vec)
+    np.testing.assert_allclose(ev, ev_ref, rtol=2e-3, atol=2e-4)
+    # eigenvectors equal up to sign; check A v = lambda v instead
+    for i in range(0, 256, 17):
+        for k in range(3):
+            r = a[i] @ vec[i][:, k] - ev[i][k] * vec[i][:, k]
+            assert np.linalg.norm(r) < 1e-2 * max(1.0, abs(ev[i][k])), (i, k)
+    # orthonormal right-handed frames
+    eye = np.einsum("nij,nik->njk", vec, vec)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (256, 1, 1)),
+                               atol=2e-3)
+    dets = np.linalg.det(vec)
+    np.testing.assert_allclose(dets, 1.0, atol=2e-3)
+
+
+def test_sym_eigh3_degenerate():
+    """Repeated eigenvalues (spheres, cylinders) stay finite + orthonormal."""
+    mats = np.stack([
+        np.eye(3),
+        np.diag([2.0, 2.0, 5.0]),
+        np.diag([3.0, 1.0, 1.0]),
+        np.full((3, 3), 1.0) + np.eye(3),
+    ]).astype(np.float32)
+    ev, vec = hb.sym_eigh3(jnp.asarray(mats))
+    ev, vec = np.asarray(ev), np.asarray(vec)
+    assert np.isfinite(ev).all() and np.isfinite(vec).all()
+    for i in range(len(mats)):
+        eye = vec[i].T @ vec[i]
+        np.testing.assert_allclose(eye, np.eye(3), atol=1e-3)
+        np.testing.assert_allclose(np.sort(ev[i]),
+                                   np.sort(np.linalg.eigvalsh(mats[i])),
+                                   atol=1e-3)

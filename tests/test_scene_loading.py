@@ -1,0 +1,74 @@
+"""Scene-loading integration: synthetic COLMAP dir + images on disk ->
+SceneInfo -> Camera pytrees -> renderable."""
+
+import os
+
+import numpy as np
+
+from hlod_gaussians_tpu.data import colmap as cm
+from hlod_gaussians_tpu.data.scene import load_colmap_scene, load_view
+
+
+def write_scene(root, n_views=6, w=40, h=30):
+    from PIL import Image
+
+    sparse = os.path.join(root, "sparse", "0")
+    img_dir = os.path.join(root, "images")
+    os.makedirs(sparse)
+    os.makedirs(img_dir)
+
+    cams = {1: cm.ColmapCamera(1, "PINHOLE", w, h,
+                               np.array([35.0, 35.0, w / 2, h / 2]))}
+    rng = np.random.default_rng(0)
+    images = {}
+    for i in range(n_views):
+        q = np.array([1.0, 0, 0, 0])
+        t = np.array([0.1 * i, 0.0, 0.0])
+        name = f"img_{i:03d}.png"
+        images[i + 1] = cm.ColmapImage(i + 1, q, t, 1, name,
+                                       np.zeros((0, 2)),
+                                       np.zeros((0,), np.int64))
+        arr = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, name))
+
+    pts = cm.ColmapPoints(rng.normal(size=(50, 3)).astype(np.float32),
+                          rng.integers(0, 255, (50, 3)).astype(np.uint8),
+                          np.zeros(50, np.float32))
+    cm.write_cameras_bin(os.path.join(sparse, "cameras.bin"), cams)
+    cm.write_images_bin(os.path.join(sparse, "images.bin"), images)
+    cm.write_points3d_bin(os.path.join(sparse, "points3D.bin"), pts)
+    return pts
+
+
+def test_load_colmap_scene_and_views(tmp_path):
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    pts = write_scene(root)
+
+    scene = load_colmap_scene(root, eval_split=True, test_hold=3)
+    assert len(scene.train_cameras) == 4
+    assert len(scene.test_cameras) == 2
+    assert scene.points.shape == (50, 3)
+    assert scene.extent > 0
+
+    cam = load_view(scene.train_cameras[0])
+    assert cam.image.shape == (3, 30, 40)
+    assert float(cam.image.max()) <= 1.0
+    assert cam.width == 40 and cam.height == 30
+
+    # camera matrices consistent: campos = inverse of W2V
+    wv = np.asarray(cam.world_view)
+    c2w = np.linalg.inv(wv)
+    np.testing.assert_allclose(np.asarray(cam.campos), c2w[3, :3], atol=1e-5)
+
+
+def test_test_txt_split(tmp_path):
+    root = str(tmp_path / "scene2")
+    os.makedirs(root)
+    write_scene(root)
+    with open(os.path.join(root, "test.txt"), "w") as f:
+        f.write("img_001\nimg_004\n")
+    scene = load_colmap_scene(root)
+    test_names = {c.image_name for c in scene.test_cameras}
+    assert test_names == {"img_001", "img_004"}
+    assert len(scene.train_cameras) == 4
