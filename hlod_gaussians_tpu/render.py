@@ -172,8 +172,18 @@ def render_lod(
 
     mask = cut.render_mask
     n_selected = jnp.sum(mask)
-    idx = jnp.nonzero(mask, size=budget, fill_value=c)[0].astype(jnp.int32)
-    sel_valid = idx < c
+    # sort-based compaction: TPU sorts are fast while nonzero's scatter
+    # lowering scalarizes; stable sort keeps selected indices in order
+    _, idx = jax.lax.sort(
+        ((~mask).astype(jnp.int32), jnp.arange(c, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    take = min(budget, c)
+    idx = idx[:take]
+    if take < budget:
+        idx = jnp.concatenate(
+            [idx, jnp.full((budget - take,), c, jnp.int32)])
+    lane = jnp.arange(budget)
+    sel_valid = lane < n_selected
     idx_c = jnp.clip(idx, 0, c - 1)
 
     from hlod_gaussians_tpu.models.gaussians import NODE_PARENT
