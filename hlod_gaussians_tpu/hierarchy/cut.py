@@ -272,25 +272,38 @@ def interpolate_with_parents(
     """Python-interp semantics of render_post
     (gaussian_renderer/__init__.py:304-339): child/parent lerp of mean,
     scale, opacity, SH; rotation lerped after a sign fix (dot < 0 flips the
-    parent quaternion). Returns gathered+interpolated arrays of length M."""
-    t = ts[:, None]
-    ti = 1.0 - t
+    parent quaternion). Returns gathered+interpolated arrays of length M.
 
-    def lerp(x):
-        extra = (1,) * (x.ndim - 2)
-        tt = t.reshape(t.shape + extra)
-        return tt * x[render_idx] + (1.0 - tt) * x[parent_idx]
+    All per-node features are packed into one [D, C] table so the child and
+    parent lookups are TWO wide 2-D gathers — narrow per-array row gathers
+    scalarize on TPU (see ops/binning.py)."""
+    k = params["shs"].shape[1]
+    c = params["means3d"].shape[0]
+    feats = jnp.concatenate([
+        params["means3d"].T,                      # 0:3
+        params["scales"].T,                       # 3:6
+        params["quats"].T,                        # 6:10
+        params["opacities"][None, :],             # 10
+        params["shs"].reshape(c, k * 3).T,        # 11:11+3k
+    ], axis=0)                                    # [11+3k, C]
 
-    means = lerp(params["means3d"])
-    scales = lerp(params["scales"])
-    opac = ts * params["opacities"][render_idx] + (1 - ts) * params["opacities"][parent_idx]
-    shs = lerp(params["shs"])
+    g_c = jax.lax.optimization_barrier(feats[:, render_idx])
+    g_p = jax.lax.optimization_barrier(feats[:, parent_idx])
 
-    q_child = params["quats"][render_idx]
-    q_parent = params["quats"][parent_idx]
-    dots = jnp.sum(q_child * q_parent, axis=-1, keepdims=True)
-    q_parent = jnp.where(dots < 0, -q_parent, q_parent)
-    quats = t * q_child + ti * q_parent  # renderer normalizes
+    t = ts[None, :]
+    q_c, q_p = g_c[6:10], g_p[6:10]
+    dots = jnp.sum(q_c * q_p, axis=0, keepdims=True)
+    q_p = jnp.where(dots < 0, -q_p, q_p)
 
-    return dict(means3d=means, scales=scales, quats=quats, opacities=opac,
-                shs=shs)
+    lin_c = jnp.concatenate([g_c[:6], q_c, g_c[10:]], axis=0)
+    lin_p = jnp.concatenate([g_p[:6], q_p, g_p[10:]], axis=0)
+    out = t * lin_c + (1.0 - t) * lin_p           # [D, M]
+
+    m = render_idx.shape[0]
+    return dict(
+        means3d=out[0:3].T,
+        scales=out[3:6].T,
+        quats=out[6:10].T,                        # renderer normalizes
+        opacities=out[10],
+        shs=out[11:11 + 3 * k].T.reshape(m, k, 3),
+    )
