@@ -95,11 +95,14 @@ def occlusion_cull(
     from hlod_gaussians_tpu.config import RasterizerConfig
 
     act = gm.activate(state, candidate_mask)
-    cfg = RasterizerConfig(backend="xla", tile_w=16, tile_h=16,
+    # production Pallas path with exact per-Gaussian seen flags on TPU
+    # (forward.cu:568); the XLA scan path computes them natively on CPU
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = RasterizerConfig(backend=backend, tile_w=16, tile_h=16,
                            max_dup=1 << 17)
     out = render_mod.render_arrays(
         act.means3d, act.scales, act.quats, act.opacities, act.shs,
         act.valid, world_view, full_proj, campos, tan_fovx, tan_fovy,
         jnp.zeros(3), sh_degree=state.sh_degree, width=width, height=height,
-        cfg=cfg, k_max=k_max)
+        cfg=cfg, k_max=k_max, want_seen=True)
     return out.seen & candidate_mask

@@ -5,28 +5,47 @@ identifyTileRanges pipeline (reference rasterizer_impl.cu:70-142,319-373).
 
 The CUDA version builds a dynamically-sized (tileID<<32 | depth-bits) key list
 and radix-sorts it. Here the duplicated list has a static capacity `max_dup`
-(validity masked), is built with `jnp.repeat(..., total_repeat_length=...)`,
-and is sorted with a two-key lexicographic `jax.lax.sort` on
-(tile_id, depth) — all fixed-shape XLA ops that run well on TPU.
+(validity masked) and is built with fixed-shape XLA ops that were each picked
+by on-chip measurement (see tests/KERNEL_DESIGN.md):
 
-Tile ranges come from a vectorized dual `searchsorted` instead of the
-identifyTileRanges scatter kernel.
+* Gaussians are PRE-SORTED by depth (one cheap [N] sort), so the dup list is
+  generated already depth-ordered and the 2M-entry sort needs only ONE int32
+  key (tile id) with a stable sort — ~40% cheaper than the two-key
+  (tile, f32 depth) lexicographic sort.
+* Per-entry attributes come from ONE stacked [8, N] gather along the minor
+  axis (separate 1-D gathers scalarize, and non-multiple-of-8 row counts fall
+  off the fast gather path).
+* Tile ranges come from a `searchsorted` over the sorted tile ids (16k
+  binary-search queries, ~3x faster than a 2M-entry segment_sum).
+* Optionally, each candidate (gaussian, tile) pair is refined with the
+  circumscribed-circle test dist(tile_rect, center)^2 <= reff2 — dropping
+  rect-corner tiles the Gaussian's alpha>=alpha_min ellipse cannot reach.
+  Combined with the tight per-axis extents from project_gaussians this
+  typically halves the entry count versus the reference's 3-sigma circle
+  rects (getRect, auxiliary.h) with bitwise-identical images: every dropped
+  entry fails the kernel's own alpha>=alpha_min skip.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 
 class TileBins(NamedTuple):
-    sorted_gid: jnp.ndarray    # [max_dup] int32 gaussian index per dup entry
+    sorted_gid: jnp.ndarray    # [max_dup] int32 ORIGINAL gaussian index per entry
     sorted_tile: jnp.ndarray   # [max_dup] int32 tile id (== num_tiles for padding)
+    sorted_gen: jnp.ndarray    # [max_dup] int32 generation slot of each sorted entry
     tile_starts: jnp.ndarray   # [num_tiles] int32 first dup entry of tile
     tile_counts: jnp.ndarray   # [num_tiles] int32 entries in tile
-    num_dup: jnp.ndarray       # scalar int32 — total real dup entries
+    order: jnp.ndarray         # [N] int32 depth-sort permutation (sorted -> orig)
+    gen_offsets: jnp.ndarray   # [N] int32 exclusive entry offsets per SORTED gaussian
+    gen_counts: jnp.ndarray    # [N] int32 entries per SORTED gaussian
+    gen_valid: jnp.ndarray     # [max_dup] bool — generation entry survived
+    num_dup: jnp.ndarray       # scalar int32 — total real (kept) dup entries
+    num_candidates: jnp.ndarray  # scalar int32 — rect entries before refinement
     overflow: jnp.ndarray      # scalar bool — true if max_dup was exceeded
 
 
@@ -50,14 +69,147 @@ def compute_rects(xy, radius, width: int, height: int, tile_w: int, tile_h: int)
     return min_x, min_y, jnp.maximum(max_x - min_x, 0), jnp.maximum(max_y - min_y, 0)
 
 
+def compute_rects_tight(xy, ext, width: int, height: int, tile_w: int,
+                        tile_h: int):
+    """Tile rectangle of integer pixel centers within the tight AABB.
+
+    A pixel center (ix, iy) can receive alpha >= alpha_min only if
+    |ix - gx| <= ext_x and |iy - gy| <= ext_y; the rect is the tile bounding
+    box of that integer region clipped to the image.
+    """
+    gw, gh = tile_grid(width, height, tile_w, tile_h)
+    lo_x = jnp.maximum(jnp.ceil(xy[..., 0] - ext[..., 0]), 0.0)
+    hi_x = jnp.minimum(jnp.floor(xy[..., 0] + ext[..., 0]), width - 1)
+    lo_y = jnp.maximum(jnp.ceil(xy[..., 1] - ext[..., 1]), 0.0)
+    hi_y = jnp.minimum(jnp.floor(xy[..., 1] + ext[..., 1]), height - 1)
+    empty = (lo_x > hi_x) | (lo_y > hi_y)
+    # exact f32 floor-division (values < 2^24; tile sizes are powers of two)
+    min_x = jnp.floor(lo_x / tile_w)
+    min_y = jnp.floor(lo_y / tile_h)
+    rw = jnp.floor(hi_x / tile_w) - min_x + 1.0
+    rh = jnp.floor(hi_y / tile_h) - min_y + 1.0
+    rw = jnp.where(empty, 0.0, rw).astype(jnp.int32)
+    rh = jnp.where(empty, 0.0, rh).astype(jnp.int32)
+    return (jnp.where(empty, 0.0, min_x).astype(jnp.int32),
+            jnp.where(empty, 0.0, min_y).astype(jnp.int32), rw, rh)
+
+
+def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
+                  tile_w: int, tile_h: int, max_dup: int,
+                  ext: Optional[jnp.ndarray] = None,
+                  reff2: Optional[jnp.ndarray] = None) -> TileBins:
+    """Build the tile-sorted (depth-ordered within tile) dup list.
+
+    With ext/reff2 (from project_gaussians) the tight alpha-aware coverage
+    is used; otherwise the reference's circle rects (radius) — the tests'
+    ground-truth configuration.
+    """
+    n = xy.shape[0]
+    gw, gh = tile_grid(width, height, tile_w, tile_h)
+    num_tiles = gw * gh
+
+    if ext is not None:
+        # exact-parity coverage = {reference circle rect} ∩ {tight AABB}:
+        # the reference blends any alpha>=alpha_min pixel inside its rect,
+        # including ones beyond 3 sigma (its radius bounds the rect, not
+        # the alpha cutoff)
+        tx0, ty0, trw, trh = compute_rects_tight(
+            xy, ext, width, height, tile_w, tile_h)
+        rx0, ry0, rrw, rrh = compute_rects(
+            xy, radius, width, height, tile_w, tile_h)
+        min_x = jnp.maximum(tx0, rx0)
+        min_y = jnp.maximum(ty0, ry0)
+        rw = jnp.maximum(jnp.minimum(tx0 + trw, rx0 + rrw) - min_x, 0)
+        rh = jnp.maximum(jnp.minimum(ty0 + trh, ry0 + rrh) - min_y, 0)
+    else:
+        min_x, min_y, rw, rh = compute_rects(
+            xy, radius, width, height, tile_w, tile_h)
+    touched = jnp.where(valid, rw * rh, 0).astype(jnp.int32)
+
+    # depth pre-sort (invalid/empty rows to the back)
+    dkey = jnp.where(touched > 0, depth, jnp.inf)
+    _, order = jax.lax.sort(
+        (dkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+
+    # per-sorted-gaussian attributes packed in one [8, N] table; one wide
+    # gather expands them per entry (row count multiple of 8 = fast path)
+    attrs = jnp.stack([
+        jnp.zeros((n,), jnp.float32),              # 0: offsets_exc (below)
+        min_x.astype(jnp.float32), min_y.astype(jnp.float32),
+        jnp.maximum(rw, 1).astype(jnp.float32),
+        xy[..., 0], xy[..., 1],
+        reff2 if reff2 is not None else jnp.zeros((n,), jnp.float32),
+        jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),  # 7: orig id
+    ], axis=0)[:, order]                            # [8, N] sorted by depth
+
+    touched_s = touched[order]
+    offsets = jnp.cumsum(touched_s)
+    total_cand = offsets[-1]
+    offsets_exc = (offsets - touched_s).astype(jnp.float32)
+    attrs = attrs.at[0].set(offsets_exc)
+
+    slot = jnp.arange(max_dup, dtype=jnp.int32)
+    gid_s = jnp.repeat(jnp.arange(n, dtype=jnp.int32), touched_s,
+                       total_repeat_length=max_dup)
+    g = jax.lax.optimization_barrier(attrs[:, gid_s])   # [8, max_dup]
+
+    in_range = slot < total_cand
+    rank = slot.astype(jnp.float32) - g[0]
+    g_rw = g[3]
+    ty_rel = jnp.floor(rank / g_rw)
+    tx = g[1] + rank - ty_rel * g_rw
+    ty = g[2] + ty_rel
+
+    keep = in_range
+    if reff2 is not None:
+        # circumscribed-circle refinement: distance from the tile's pixel
+        # box to the center must not exceed the iso-ellipse circumradius
+        x0 = tx * tile_w
+        y0 = ty * tile_h
+        cx = jnp.clip(g[4], x0, jnp.minimum(x0 + tile_w - 1, width - 1))
+        cy = jnp.clip(g[5], y0, jnp.minimum(y0 + tile_h - 1, height - 1))
+        dx = g[4] - cx
+        dy = g[5] - cy
+        keep = keep & (dx * dx + dy * dy <= g[6])
+
+    tile_id = jnp.where(keep, ty * gw + tx, float(num_tiles)).astype(jnp.int32)
+    gid_orig = g[7].astype(jnp.int32)
+
+    sorted_tile, sorted_gid, sorted_gen = jax.lax.sort(
+        (tile_id, gid_orig, slot), num_keys=1, is_stable=True)
+
+    # tile ranges: binary search over the sorted ids (16k queries)
+    bounds = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    tile_starts = bounds[:num_tiles]
+    tile_counts = bounds[1:] - tile_starts
+    num_dup = bounds[num_tiles]
+
+    return TileBins(sorted_gid=sorted_gid, sorted_tile=sorted_tile,
+                    sorted_gen=sorted_gen,
+                    tile_starts=tile_starts, tile_counts=tile_counts,
+                    order=order, gen_offsets=offsets_exc.astype(jnp.int32),
+                    gen_counts=touched_s, gen_valid=keep,
+                    num_dup=num_dup,
+                    num_candidates=jnp.minimum(total_cand, max_dup),
+                    overflow=total_cand > max_dup)
+
+
 class AlignedBins(NamedTuple):
     """Chunk-aligned dup-entry layout for the Pallas blend kernels: every
     tile's range starts at a multiple of `chunk` so per-tile DMA slices of
-    the entry/gradient buffers never overlap across tiles."""
+    the entry/gradient buffers never overlap across tiles (Mosaic requires
+    minor-axis DMA offsets divisible by the 128-lane tiling)."""
 
     entry_gid: jnp.ndarray    # [cap] int32 gaussian index per entry (garbage in padding)
     tile_starts: jnp.ndarray  # [num_tiles] int32, chunk-aligned
     tile_counts: jnp.ndarray  # [num_tiles] int32 true counts
+    gen_to_slot: jnp.ndarray  # [max_dup] int32 aligned slot per generation entry
+    gen_valid: jnp.ndarray    # [max_dup] bool — generation entry survived
+    gen_offsets: jnp.ndarray  # [N] int32 (copied from TileBins)
+    gen_counts: jnp.ndarray   # [N] int32
+    order: jnp.ndarray        # [N] int32 depth permutation
     overflow: jnp.ndarray     # scalar bool
 
 
@@ -65,7 +217,9 @@ def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
     """Re-pack the sorted dup list so each tile's range is chunk-aligned.
 
     Output capacity is the static worst case max_dup + num_tiles * (chunk-1),
-    rounded up to a multiple of `chunk`.
+    rounded up to a multiple of `chunk`. Also emits the generation-order ->
+    aligned-slot map that lets the gradient reduction run as contiguous
+    per-gaussian segment sums instead of a scatter-add (ops/rasterize.py).
     """
     max_dup = bins.sorted_gid.shape[0]
     cap = max_dup + num_tiles * (chunk - 1)
@@ -86,71 +240,17 @@ def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
     rank = pos - gtb[1]
     dst = jnp.where(in_range, gtb[0] + rank, cap)
 
-    # 2-D scatter (leading unit row) keeps the fast scatter path
-    entry_gid = jnp.zeros((1, cap), jnp.int32).at[:, dst].set(
-        bins.sorted_gid[None], mode="drop")[0]
+    # 2-D scatters (leading unit row) keep the fast scatter path
+    put = jnp.stack([bins.sorted_gid, bins.sorted_gen], axis=0)
+    scat = jnp.zeros((2, cap), jnp.int32).at[:, dst].set(put, mode="drop")
+    entry_gid = scat[0]
+    # invert sorted->aligned into generation->aligned by sorting on gen
+    _, gen_to_slot = jax.lax.sort(
+        (bins.sorted_gen, jnp.where(in_range, dst, cap - 1).astype(jnp.int32)),
+        num_keys=1, is_stable=True)
     return AlignedBins(entry_gid=entry_gid, tile_starts=aligned_starts,
-                       tile_counts=bins.tile_counts, overflow=bins.overflow)
-
-
-def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
-                  tile_w: int, tile_h: int, max_dup: int) -> TileBins:
-    """Build the sorted (tile, depth) dup list with static shapes.
-
-    TPU notes: all per-gaussian lookups go through ONE stacked [K, N]
-    gather — separate 1-D gathers lower to a scalarized fusion that is
-    ~12x slower at 2M entries; likewise integer div/mod by vector divisors
-    scalarizes, so the rect decomposition runs in (exact) f32. The dup-list
-    expansion is a searchsorted over the cumulative-counts table instead of
-    jnp.repeat's internal gather chain, and tile ranges come from a
-    segment-sum + exclusive cumsum over the sorted tile ids instead of two
-    large searchsorted calls.
-    """
-    n = xy.shape[0]
-    gw, gh = tile_grid(width, height, tile_w, tile_h)
-    num_tiles = gw * gh
-
-    min_x, min_y, rw, rh = compute_rects(xy, radius, width, height, tile_w, tile_h)
-    touched = jnp.where(valid, rw * rh, 0).astype(jnp.int32)
-
-    offsets = jnp.cumsum(touched)
-    total = offsets[-1]
-    offsets_exc = (offsets - touched).astype(jnp.float32)
-    overflow = total > max_dup
-
-    slot = jnp.arange(max_dup, dtype=jnp.int32)
-    # dup slot -> source gaussian (a jnp.searchsorted over the cumulative
-    # counts would be 17 rounds of scalarizing 1-D gathers; repeat is faster)
-    gid_c = jnp.repeat(jnp.arange(n, dtype=jnp.int32), touched,
-                       total_repeat_length=max_dup)
-
-    attrs = jnp.stack([
-        offsets_exc, min_x.astype(jnp.float32), min_y.astype(jnp.float32),
-        jnp.maximum(rw, 1).astype(jnp.float32), depth.astype(jnp.float32),
-    ], axis=0)                                   # [5, N]
-    g = jax.lax.optimization_barrier(attrs[:, gid_c])   # one fast 2-D gather
-
-    in_range = slot < total
-    rank = slot.astype(jnp.float32) - g[0]
-    g_rw = g[3]
-    ty_rel = jnp.floor(rank / g_rw)
-    tx = g[1] + rank - ty_rel * g_rw
-    ty = g[2] + ty_rel
-    tile_id = jnp.where(in_range, ty * gw + tx,
-                        float(num_tiles)).astype(jnp.int32)
-
-    d = jnp.where(in_range, g[4], jnp.inf)
-    sorted_tile, _, sorted_gid = jax.lax.sort((tile_id, d, gid_c), num_keys=2)
-
-    ones = jnp.where(in_range, 1, 0)
-    counts_all = jax.ops.segment_sum(ones, tile_id,
-                                     num_segments=num_tiles + 1,
-                                     indices_are_sorted=False)
-    tile_counts = counts_all[:num_tiles].astype(jnp.int32)
-    tile_starts = (jnp.cumsum(tile_counts) - tile_counts).astype(jnp.int32)
-
-    return TileBins(sorted_gid=sorted_gid, sorted_tile=sorted_tile,
-                    tile_starts=tile_starts,
-                    tile_counts=tile_counts,
-                    num_dup=jnp.minimum(total, max_dup),
-                    overflow=overflow)
+                       tile_counts=bins.tile_counts,
+                       gen_to_slot=gen_to_slot, gen_valid=bins.gen_valid,
+                       gen_offsets=bins.gen_offsets,
+                       gen_counts=bins.gen_counts, order=bins.order,
+                       overflow=bins.overflow)

@@ -126,6 +126,9 @@ class Projection(NamedTuple):
     opacity: jnp.ndarray     # [N] effective opacity (incl. AA scaling if on)
     radius: jnp.ndarray      # [N] int32 pixel radius (0 = culled)
     valid: jnp.ndarray       # [N] bool — survives all culls
+    ext: jnp.ndarray         # [N,2] tight half-extents of the alpha>=alpha_min
+                             #       iso-ellipse's AABB (<= radius per axis)
+    reff2: jnp.ndarray       # [N] squared radius of its circumscribed circle
 
 
 def ndc2pix(v, size):
@@ -138,11 +141,22 @@ def project_gaussians(
     width: int, height: int, focal_x, focal_y, tan_fovx, tan_fovy,
     *, dilation: float = 0.3, antialiasing: bool = False, near: float = 0.2,
     valid_in=None, big_limit: float = float("inf"), max_scale=None,
+    alpha_min: float = 1.0 / 255.0,
 ):
     """Project all Gaussians to screen space (reference preprocessCUDA).
 
     All culling (near plane, zero-area, big-limit) is expressed in the
     returned `valid` mask; invalid rows carry harmless placeholder values.
+
+    Beyond the reference's 3*sqrt(lambda_max) circle (forward.cu:385-390),
+    this also emits TIGHT per-axis extents of the region where the blend
+    could apply an entry: alpha = op*exp(-q/2) >= alpha_min requires
+    q <= 2L with L = log(op/alpha_min), whose iso-ellipse has AABB
+    half-extents sqrt(2L*Sigma_xx), sqrt(2L*Sigma_yy) and circumscribed
+    radius sqrt(2L*lambda_max). Both are clamped to the reference's 3-sigma
+    bound, so binning on them covers every pixel the CUDA kernel would
+    actually blend (entries it drops are exactly the alpha<alpha_min skips,
+    forward.cu:546-556) while touching far fewer tiles.
     """
     p_proj, w = transform_points(means, projmatrix)
     p_view = transform_points_3x4(means, viewmatrix)
@@ -177,6 +191,23 @@ def project_gaussians(
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam))
 
+    # tight alpha-aware extents (see docstring); 2L clamped to [0, 9] so the
+    # tight region is always inside the reference's 3-sigma circle
+    # NOT clamped to 9 (3-sigma): for opacity near 1 the alpha>=alpha_min
+    # region reaches q = 2*ln(255) ~ 11.08, and the reference's generous
+    # circle RECT does cover (and blend) such pixels. Binning intersects
+    # these extents with the reference rect (ops/binning.py) so coverage is
+    # exactly {reference rect} ∩ {alpha could reach alpha_min}.
+    two_l = jnp.clip(2.0 * jnp.log(jnp.maximum(opacity, 1e-12) / alpha_min),
+                     0.0, 20.0)
+    # +1e-3 px margin guards against float rounding flipping an exactly
+    # boundary pixel between the coverage test and the kernel's alpha test
+    ext_x = jnp.sqrt(two_l * jnp.maximum(cxx, 0.0)) + 1e-3
+    ext_y = jnp.sqrt(two_l * jnp.maximum(cyy, 0.0)) + 1e-3
+    reff2 = (jnp.sqrt(two_l * lam) + 1e-3) ** 2
+    # gaussians whose peak alpha is below the blend threshold never land
+    valid = valid & (two_l > 0.0)
+
     xy = jnp.stack([ndc2pix(p_proj[..., 0], width), ndc2pix(p_proj[..., 1], height)], axis=-1)
 
     # zero-area cull happens in tile binning (rect area == 0); here just
@@ -192,5 +223,8 @@ def project_gaussians(
     conic = jnp.where(v1, conic, jnp.asarray([1.0, 0.0, 1.0], conic.dtype))
     depth = jnp.where(valid, depth, 1.0)
     opacity = jnp.where(valid, opacity, 0.0)
+    ext = jnp.stack([jnp.where(valid, ext_x, 0.0),
+                     jnp.where(valid, ext_y, 0.0)], axis=-1)
+    reff2 = jnp.where(valid, reff2, 0.0)
     return Projection(xy=xy, depth=depth, conic=conic, opacity=opacity,
-                      radius=radius, valid=valid)
+                      radius=radius, valid=valid, ext=ext, reff2=reff2)

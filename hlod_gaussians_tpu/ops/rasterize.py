@@ -2,11 +2,21 @@
 
 Glue between the XLA preprocessing (projection, SH, binning — all
 autodiff-traced) and the Pallas blend kernels (ops/rasterize_pallas.py).
-The custom-VJP boundary sits at the dense per-entry feature matrix: the
-gather ``feats[entry_gid]`` stays inside the autodiff graph, so its VJP (a
-segment scatter-add) routes the kernel's per-entry gradients back onto the
-per-Gaussian arrays — replacing the CUDA backward's global atomics
-(backward.cu:580-719) with one XLA scatter.
+
+Two hand-built custom-VJP boundaries replace what stock autodiff would do
+with far more expensive ops:
+
+* `_blend` — forward/backward Pallas kernels over the dense per-entry
+  feature matrix (the CUDA renderCUDA fwd/bwd pair, forward.cu:450-596,
+  backward.cu:498-721).
+* `_expand` — the per-entry gather ``feats[:, entry_gid]``. Its stock VJP is
+  a 4M-entry scatter-add (~70 ms at 1080p); instead, entries were generated
+  per-Gaussian CONTIGUOUSLY (ops/binning.py), so the reduction becomes: map
+  kernel gradients back to generation order (one wide gather via the
+  `gen_to_slot` permutation), one cumulative sum, and per-Gaussian boundary
+  differences — ~3x faster, and exactly equal because every entry belongs
+  to one Gaussian. This replaces the CUDA backward's global atomics
+  (backward.cu:580-721) with deterministic segment sums.
 """
 
 from __future__ import annotations
@@ -26,36 +36,30 @@ from hlod_gaussians_tpu.ops.rasterize_xla import RenderOut
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _blend(cfg, entry_data, tile_starts, tile_counts):
     (num_tiles, gw, tile_h, tile_w, width, height, t_eps, alpha_min,
-     use_lod, interpret) = cfg
+     use_lod, want_seen, interpret) = cfg
     return rp.blend_forward(
         entry_data, tile_starts, tile_counts, num_tiles=num_tiles, gw=gw,
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
         t_eps=t_eps, alpha_min=alpha_min, use_lod=use_lod,
-        interpret=interpret)
+        want_seen=want_seen, interpret=interpret)
 
 
 def _blend_fwd(cfg, entry_data, tile_starts, tile_counts):
     out = _blend(cfg, entry_data, tile_starts, tile_counts)
-    img4, final_t, n_contrib = out
+    img4, final_t, n_contrib, _seen = out
     return out, (entry_data, tile_starts, tile_counts, final_t, n_contrib)
 
 
 def _blend_bwd(cfg, res, g):
     (num_tiles, gw, tile_h, tile_w, width, height, t_eps, alpha_min,
-     use_lod, interpret) = cfg
+     use_lod, want_seen, interpret) = cfg
     entry_data, tile_starts, tile_counts, final_t, n_contrib = res
-    g_img4, g_final_t, _g_nc = g
+    g_img4, g_final_t, _g_nc, _g_seen = g
     egrads = rp.blend_backward(
         entry_data, tile_starts, tile_counts, final_t, n_contrib,
         g_img4, g_final_t, num_tiles=num_tiles, gw=gw, tile_h=tile_h,
         tile_w=tile_w, width=width, height=height, alpha_min=alpha_min,
         use_lod=use_lod, interpret=interpret)
-    # lanes beyond the last tile's padded range are never written by any
-    # kernel program — zero them so the gather-VJP scatter stays clean
-    last_padded = -(-tile_counts[-1] // rp.CHUNK) * rp.CHUNK
-    total = tile_starts[-1] + last_padded
-    lane = jnp.arange(entry_data.shape[1], dtype=jnp.int32)
-    egrads = jnp.where((lane < total)[None, :], egrads, 0.0)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return egrads, zero_i(tile_starts), zero_i(tile_counts)
 
@@ -63,12 +67,47 @@ def _blend_bwd(cfg, res, g):
 _blend.defvjp(_blend_fwd, _blend_bwd)
 
 
+@jax.custom_vjp
+def _expand(feats, abins: AlignedBins):
+    """[16, N] per-Gaussian features -> [16, cap] per-entry matrix."""
+    return feats[:, abins.entry_gid]
+
+
+def _expand_fwd(feats, abins):
+    return _expand(feats, abins), (abins, feats.shape[1])
+
+
+def _expand_bwd(res, egrads):
+    abins, n = res
+    cap = egrads.shape[1]
+    md = abins.gen_to_slot.shape[0]
+    # kernel gradients -> generation order (contiguous per sorted Gaussian)
+    ggen = egrads[:, jnp.clip(abins.gen_to_slot, 0, cap - 1)]   # [16, md]
+    ggen = jnp.where(abins.gen_valid[None, :], ggen, 0.0)
+    cs = jnp.cumsum(ggen, axis=1)
+    # per-sorted-Gaussian segment sums by boundary differences
+    off = abins.gen_offsets
+    cnt = abins.gen_counts
+    end = jnp.clip(off + cnt - 1, 0, md - 1)
+    lo = jnp.clip(off - 1, 0, md - 1)
+    seg = cs[:, end] - jnp.where((off > 0)[None, :], cs[:, lo], 0.0)
+    seg = jnp.where((cnt > 0)[None, :], seg, 0.0)               # [16, N]
+    # un-permute: row g of `seg` is the Gaussian abins.order[g]
+    gfeats = jnp.zeros_like(seg).at[:, abins.order].set(seg)
+    z = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), abins)
+    return gfeats, z
+
+
+_expand.defvjp(_expand_fwd, _expand_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_w", "tile_h", "t_eps",
-                     "alpha_min", "interpret"))
+                     "alpha_min", "want_seen", "interpret"))
 def rasterize_tiles(
-    bins: AlignedBins,
+    abins: AlignedBins,
     xy: jnp.ndarray,          # [N,2]
     conic: jnp.ndarray,       # [N,3]
     opacity: jnp.ndarray,     # [N]
@@ -80,11 +119,12 @@ def rasterize_tiles(
     *,
     width: int, height: int, tile_w: int, tile_h: int,
     t_eps: float = 1e-4, alpha_min: float = 1.0 / 255.0,
+    want_seen: bool = False,
     interpret: bool = False,
 ) -> RenderOut:
-    """Pallas twin of rasterize_scan (same RenderOut contract; `seen` is
-    approximated by n_contrib-based coverage — exact per-Gaussian seen flags
-    live in the XLA path)."""
+    """Pallas twin of rasterize_scan (same RenderOut contract). With
+    ``want_seen`` the kernel emits exact per-entry applied flags that reduce
+    to the per-Gaussian `seen` of the CUDA forward (forward.cu:568)."""
     n = xy.shape[0]
     gw, gh = tile_grid(width, height, tile_w, tile_h)
     num_tiles = gw * gh
@@ -103,15 +143,15 @@ def rasterize_tiles(
         t_col, ik_col,
         jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)),
     ], axis=0)                                   # [16, N]
-    entry_data = feats[:, bins.entry_gid]        # traced gather -> VJP scatter
+    entry_data = _expand(feats, abins)
 
     cfg = (num_tiles, gw, tile_h, tile_w, width, height, float(t_eps),
-           float(alpha_min), use_lod, interpret)
-    img4_t, final_t_t, n_contrib_t = _blend(
-        cfg, entry_data, bins.tile_starts, bins.tile_counts)
+           float(alpha_min), use_lod, want_seen, interpret)
+    img4_t, final_t_t, n_contrib_t, seen_e = _blend(
+        cfg, entry_data, abins.tile_starts, abins.tile_counts)
 
     def untile(x):
-        """[T, PIX] -> [H, W]"""
+        """[T, pix] -> [H, W]"""
         x = x.reshape(gh, gw, tile_h, tile_w)
         x = jnp.swapaxes(x, 1, 2).reshape(gh * tile_h, gw * tile_w)
         return x[:height, :width]
@@ -123,14 +163,23 @@ def rasterize_tiles(
     image = img4[:3] + final_t[None] * bg[:, None, None]
     invdepth = img4[3]
 
-    # per-Gaussian seen flag: entry contributed if any pixel in its tile
-    # consumed at least its rank (coarse over-approximation kept cheap; the
-    # exact flag is available from the XLA reference path)
-    seen = jnp.zeros((n,), bool)
+    if want_seen and seen_e is not None:
+        flags = jax.lax.stop_gradient(seen_e)                 # [1, cap]
+        # lanes past the last tile's padded range are never written — mask
+        cap = flags.shape[1]
+        last_pad = (-(-abins.tile_counts[-1] // rp.CHUNK)) * rp.CHUNK
+        end = abins.tile_starts[-1] + last_pad
+        lane_ok = (jnp.arange(cap, dtype=jnp.int32) < end)[None, :]
+        flags = jnp.where(lane_ok, flags, 0.0)
+        seenf = jnp.zeros((1, n), jnp.float32).at[
+            :, abins.entry_gid].max(flags, mode="drop")[0]
+        seen = seenf > 0.0
+    else:
+        seen = jnp.zeros((n,), bool)
 
     return RenderOut(image=image, invdepth=invdepth, final_t=final_t,
                      n_contrib=n_contrib, seen=seen,
-                     truncated=bins.overflow)
+                     truncated=abins.overflow)
 
 
 def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
@@ -138,14 +187,19 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
                           width: int, height: int, tile_w: int, tile_h: int,
                           max_dup: int, t_eps: float = 1e-4,
                           alpha_min: float = 1.0 / 255.0,
+                          ext=None, reff2=None,
+                          want_seen: bool = False,
                           interpret: bool = False) -> RenderOut:
     """bin + align + blend in one call (binning is not differentiated)."""
     gw, gh = tile_grid(width, height, tile_w, tile_h)
     bins = bin_gaussians(jax.lax.stop_gradient(xy),
                          jax.lax.stop_gradient(depth), radius, valid,
-                         width, height, tile_w, tile_h, max_dup)
+                         width, height, tile_w, tile_h, max_dup,
+                         ext=None if ext is None else jax.lax.stop_gradient(ext),
+                         reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
     abins = align_bins(bins, gw * gh, rp.CHUNK)
     return rasterize_tiles(abins, xy, conic, opacity, color, invdepth_g, bg,
                            ts, kids, width=width, height=height,
                            tile_w=tile_w, tile_h=tile_h, t_eps=t_eps,
-                           alpha_min=alpha_min, interpret=interpret)
+                           alpha_min=alpha_min, want_seen=want_seen,
+                           interpret=interpret)

@@ -25,21 +25,27 @@ instead of translated:
 * Binning stays XLA (ops/binning.py) with tile ranges CHUNK-aligned
   (`align_bins`) so each tile's gradient writes land in an exclusive
   [start, start+padded_count) slice — no atomics, unlike the CUDA backward.
+  (Compact unaligned ranges are impossible: Mosaic requires minor-axis DMA
+  offsets divisible by the 128-lane tiling.)
 * Per-entry inputs are pre-gathered by XLA into ``entry_data
-  [max_dup, 16]`` (x, y, cxx, cxy, cyy, opacity, r, g, b, invdepth, t_lod,
-  inv_kids, pad...). The gather is autodiff-traced, so scatter-add of entry
-  gradients onto Gaussians falls out of ``jnp.take``'s VJP.
+  [16, cap]`` (x, y, cxx, cxy, cyy, opacity, r, g, b, invdepth, t_lod,
+  inv_kids, pad...); gradient flow back to the per-Gaussian arrays is a
+  hand-built generation-order segment reduction (ops/rasterize.py).
+* The pixel count per tile (tile_w*tile_h) is a parameter: 256-pixel (16x16)
+  tiles halve the sequential program count and the dup-entry total versus
+  128-pixel tiles at the cost of wider [CHUNK, PIX] vector ops — the sweet
+  spot is measured, not assumed (scripts/profile_raster.py).
 * Backward walks chunks in reverse, reconstructing transmittance by
   division from the saved ``final_t`` exactly like the CUDA backward, using
   the saved per-pixel ``n_contrib`` to decide which entries were applied.
+  It only processes chunks up to the tile's max ``n_contrib`` (later chunks
+  have all-zero gradients and are zero-filled by DMA), and overlaps the
+  per-chunk gradient write-out DMA with the next chunk's compute.
 
 LOD alpha correction (forward.cu:546-554) is applied in-kernel:
     kidsqrt_alpha = 1 - (1 - alpha)^(1/kids)
     alpha' = t * alpha + (1 - t) * kidsqrt_alpha
 with the matching opacity chain rule in backward (backward.cu:711-715).
-
-Tile shape: ``tile_w x tile_h`` with ``tile_w * tile_h == 128`` pixels — the
-pixel axis lives entirely on the 128 VPU lanes; default 16x8.
 """
 
 from __future__ import annotations
@@ -57,16 +63,15 @@ N_ENTRY_COLS = 16   # 12 used, padded for DMA-friendly rows
 N_GRAD_COLS = 16    # dgx dgy dcxx dcxy dcyy dop dr dg db dinvd + pad
 
 CHUNK = 128         # entries per chunk == sublane count of the chunk matrix
-PIX = 128           # pixels per tile == lane count
 
 _LOG_EPS = -80.0    # log-space floor: exp(-80) ~ 1.8e-35, safely below t_eps
 
 
-def _pixel_xy(tile_id, gw: int, tile_h: int, tile_w: int):
-    """Pixel centers of the tile as [1, PIX] lane vectors."""
+def _pixel_xy(tile_id, gw: int, tile_h: int, tile_w: int, pix: int):
+    """Pixel centers of the tile as [1, pix] lane vectors."""
     tx = tile_id % gw
     ty = tile_id // gw
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     px = tx * tile_w + p % tile_w
     py = ty * tile_h + p // tile_w
     return px, py
@@ -94,7 +99,7 @@ def _mm(a, b):
 def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod):
     """Shared forward math: per-(entry, pixel) effective alpha + masks.
 
-    chunk: [CHUNK, N_ENTRY_COLS]; returns (alpha [CHUNK, PIX] pre-masked,
+    chunk: [CHUNK, N_ENTRY_COLS]; returns (alpha [CHUNK, pix] pre-masked,
     pre mask, aux dict for backward reuse).
     """
     col = lambda i: chunk[:, i:i + 1]                        # [CHUNK,1]
@@ -102,7 +107,7 @@ def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod):
     cxx, cxy, cyy = col(_ECXX), col(_ECXY), col(_ECYY)
     op = col(_EOP)
 
-    dx = gx - pxf                                            # [CHUNK, PIX]
+    dx = gx - pxf                                            # [CHUNK, pix]
     dy = gy - pyf
     power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
     G = jnp.exp(power)
@@ -128,18 +133,20 @@ def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod):
 
 
 def _forward_kernel(starts_ref, counts_ref,
-                    entries_hbm,                      # [16, max_dup] HBM
+                    entries_hbm,                      # [16, cap] HBM
                     img_ref, ft_ref, nc_ref,          # VMEM out blocks
-                    chunk_vmem, sem,
+                    seen_hbm,                         # [1, cap] HBM out | None
+                    chunk_vmem, sem, seen_vmem, seen_sem,
                     *, gw: int, tile_h: int, tile_w: int, width: int,
                     height: int, t_eps: float, alpha_min: float,
-                    use_lod: bool):
+                    use_lod: bool, want_seen: bool):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
+    pix = tile_h * tile_w
 
-    px, py = _pixel_xy(t, gw, tile_h, tile_w)
-    inside = (px < width) & (py < height)                    # [1, PIX]
+    px, py = _pixel_xy(t, gw, tile_h, tile_w, pix)
+    inside = (px < width) & (py < height)                    # [1, pix]
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
 
@@ -151,6 +158,12 @@ def _forward_kernel(starts_ref, counts_ref,
         return pltpu.make_async_copy(
             entries_hbm.at[:, pl.ds(off, CHUNK)],
             chunk_vmem.at[slot], sem.at[slot])
+
+    def seen_dma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            seen_vmem.at[slot], seen_hbm.at[:, pl.ds(off, CHUNK)],
+            seen_sem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -164,6 +177,11 @@ def _forward_kernel(starts_ref, counts_ref,
         def _():
             dma((c + 1) % 2, c + 1).start()
         dma(slot, c).wait()
+        if want_seen:
+            # the slot's previous flag write must land before we reuse it
+            @pl.when(c >= 2)
+            def _():
+                seen_dma(slot, c - 2).wait()
 
         # float-masked saturation vote (bool-select lowering is unsupported)
         saturated = jnp.max(jnp.where(inside, logT, _LOG_EPS)) < jnp.log(t_eps)
@@ -178,7 +196,7 @@ def _forward_kernel(starts_ref, counts_ref,
 
             lg = jnp.log1p(-alpha)                          # 0 where masked
             cum_ex = _mm(tril, lg)                          # exclusive prefix
-            log_before = logT + cum_ex                      # [CHUNK, PIX]
+            log_before = logT + cum_ex                      # [CHUNK, pix]
             log_incl = log_before + lg
             # applied iff the inclusive product stays above t_eps
             apply = (alpha > 0.0) & (log_incl >= jnp.log(t_eps))
@@ -197,15 +215,36 @@ def _forward_kernel(starts_ref, counts_ref,
             n_contrib = jnp.maximum(
                 n_contrib,
                 jnp.max(jnp.where(apply, kk, 0), axis=0, keepdims=True))
+            if want_seen:
+                flag = jnp.max(jnp.where(apply, 1.0, 0.0), axis=1)  # [CHUNK]
+                seen_vmem[slot, 0] = flag
             return logT, acc0, acc1, acc2, acc3, n_contrib
 
-        return jax.lax.cond(saturated, lambda a: a, process,
-                            (logT, acc0, acc1, acc2, acc3, n_contrib))
+        def skip(args):
+            if want_seen:
+                seen_vmem[slot, 0] = jnp.zeros((CHUNK,), jnp.float32)
+            return args
 
-    z = jnp.zeros((1, PIX), jnp.float32)
-    init = (z, z, z, z, z, jnp.zeros((1, PIX), jnp.int32))
+        out = jax.lax.cond(saturated, skip, process,
+                           (logT, acc0, acc1, acc2, acc3, n_contrib))
+        if want_seen:
+            seen_dma(slot, c).start()
+        return out
+
+    pix_z = jnp.zeros((1, pix), jnp.float32)
+    init = (pix_z, pix_z, pix_z, pix_z, pix_z,
+            jnp.zeros((1, pix), jnp.int32))
     logT, acc0, acc1, acc2, acc3, n_contrib = jax.lax.fori_loop(
         0, n_chunks, body, init)
+
+    if want_seen:
+        @pl.when(n_chunks >= 1)
+        def _():
+            seen_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            seen_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
 
     img_ref[0, 0] = acc0[0]
     img_ref[0, 1] = acc1[0]
@@ -218,66 +257,100 @@ def _forward_kernel(starts_ref, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
-                     "t_eps", "alpha_min", "use_lod", "interpret"))
+                     "t_eps", "alpha_min", "use_lod", "want_seen",
+                     "interpret"))
 def blend_forward(entry_data, tile_starts, tile_counts, *,
                   num_tiles: int, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float = 1e-4,
                   alpha_min: float = 1.0 / 255.0,
-                  use_lod: bool = False, interpret: bool = False):
-    """entry_data [16, max_dup] (CHUNK-aligned tile ranges) ->
-    (img4 [T, 4, PIX], final_t [T, 1, PIX], n_contrib [T, 1, PIX])."""
-    assert tile_h * tile_w == PIX, (tile_h, tile_w)
+                  use_lod: bool = False, want_seen: bool = False,
+                  interpret: bool = False):
+    """entry_data [16, cap] (CHUNK-aligned tile ranges) ->
+    (img4 [T, 4, pix], final_t [T, 1, pix], n_contrib [T, 1, pix][, seen_e])."""
+    pix = tile_h * tile_w
+    assert pix % 128 == 0, (tile_h, tile_w)
     assert entry_data.shape[1] % CHUNK == 0
     kernel = functools.partial(
         _forward_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
-        height=height, t_eps=t_eps, alpha_min=alpha_min, use_lod=use_lod)
+        height=height, t_eps=t_eps, alpha_min=alpha_min, use_lod=use_lod,
+        want_seen=want_seen)
+
+    out_specs = [
+        pl.BlockSpec((1, 4, pix), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_tiles, 4, pix), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, 1, pix), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, 1, pix), jnp.int32),
+    ]
+    if want_seen:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, entry_data.shape[1]), jnp.float32))
+    else:
+        out_specs.append(None)
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, 4, PIX), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=tuple(out_specs[:3]) + ((out_specs[3],)
+                                          if want_seen else ()),
         scratch_shapes=[
             pltpu.VMEM((2, N_ENTRY_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, 4, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32),
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(tile_starts, tile_counts, entry_data)
+
+    if want_seen:
+        def kern(s_ref, c_ref, e_hbm, img, ft, nc, seen, *scratch):
+            kernel(s_ref, c_ref, e_hbm, img, ft, nc, seen, *scratch)
+        outs = pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shape[:4]),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(tile_starts, tile_counts, entry_data)
+        return outs
+    else:
+        def kern(s_ref, c_ref, e_hbm, img, ft, nc, *scratch):
+            kernel(s_ref, c_ref, e_hbm, img, ft, nc, None, *scratch)
+        img4, final_t, n_contrib = pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shape[:3]),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(tile_starts, tile_counts, entry_data)
+        return img4, final_t, n_contrib, None
 
 
 def _backward_kernel(starts_ref, counts_ref,
                      entries_hbm,
                      ft_ref, nc_ref, gimg_ref, gft_ref,
                      egrad_hbm,
-                     chunk_vmem, grad_vmem, sem, osem,
+                     chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
                      *, gw: int, tile_h: int, tile_w: int, width: int,
                      height: int, alpha_min: float, use_lod: bool):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
+    pix = tile_h * tile_w
 
-    px, py = _pixel_xy(t, gw, tile_h, tile_w)
+    px, py = _pixel_xy(t, gw, tile_h, tile_w, pix)
     inside = (px < width) & (py < height)
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
 
-    final_t = ft_ref[0]                   # [1, PIX]
+    final_t = ft_ref[0]                   # [1, pix]
     n_contrib = nc_ref[0]
     g0 = gimg_ref[0, 0:1]
     g1 = gimg_ref[0, 1:2]
@@ -286,6 +359,10 @@ def _backward_kernel(starts_ref, counts_ref,
     dT_total = gft_ref[0]
 
     n_chunks = pl.cdiv(count, CHUNK)
+    # entries beyond the last applied one have identically-zero gradients;
+    # only walk chunks that contain applied entries, zero-fill the rest
+    max_nc = jnp.max(n_contrib)
+    n_act = jnp.minimum(pl.cdiv(max_nc, CHUNK), n_chunks)
     tril = _tri_strict()
     usq = _usq_strict()
 
@@ -295,16 +372,34 @@ def _backward_kernel(starts_ref, counts_ref,
             entries_hbm.at[:, pl.ds(off, CHUNK)],
             chunk_vmem.at[slot], sem.at[slot])
 
-    @pl.when(n_chunks > 0)
+    def dma_out(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            grad_vmem.at[slot], egrad_hbm.at[:, pl.ds(off, CHUNK)],
+            osem.at[slot])
+
+    # zero-fill the inactive tail chunks [n_act, n_chunks)
+    zero_vmem[...] = jnp.zeros((N_GRAD_COLS, CHUNK), jnp.float32)
+
+    def zfill(z, _):
+        off = pl.multiple_of(start + (n_act + z) * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            zero_vmem, egrad_hbm.at[:, pl.ds(off, CHUNK)], zsem).start()
+        return _
+
+    n_zero = n_chunks - n_act
+    jax.lax.fori_loop(0, n_zero, zfill, 0)
+
+    @pl.when(n_act > 0)
     def _():
-        dma_in(0, n_chunks - 1).start()
+        dma_in(0, n_act - 1).start()
 
     def body(ci, carry):
-        logT_end, s0, s1, s2, s3 = carry      # suffix color sums [1, PIX]
-        c = n_chunks - 1 - ci
+        logT_end, s0, s1, s2, s3 = carry      # suffix color sums [1, pix]
+        c = n_act - 1 - ci
         slot = ci % 2
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + 1 < n_act)
         def _():
             dma_in((ci + 1) % 2, jnp.maximum(c - 1, 0)).start()
         dma_in(slot, c).wait()
@@ -323,7 +418,7 @@ def _backward_kernel(starts_ref, counts_ref,
         chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
         logT_start = logT_end - chunk_sum
         log_before = logT_start + _mm(tril, lg)
-        t_before = jnp.exp(log_before)                        # [CHUNK, PIX]
+        t_before = jnp.exp(log_before)                        # [CHUNK, pix]
         contrib = a * t_before
 
         col = lambda i: chunk[:, i:i + 1]
@@ -366,12 +461,14 @@ def _backward_kernel(starts_ref, counts_ref,
         g16 = jnp.concatenate(
             [dgx, dgy, dcxx, dcxy, dcyy, dop, dcr, dcg, dcb, dcd, zeros],
             axis=1)
-        grad_vmem[...] = jnp.transpose(g16)           # [16, CHUNK]
-        off_out = pl.multiple_of(start + c * CHUNK, CHUNK)
-        out = pltpu.make_async_copy(
-            grad_vmem, egrad_hbm.at[:, pl.ds(off_out, CHUNK)], osem)
-        out.start()
-        out.wait()
+
+        # double-buffered write-out: wait for the slot's previous DMA, then
+        # overlap this chunk's store with the next chunk's compute
+        @pl.when(ci >= 2)
+        def _():
+            dma_out(slot, 0).wait()
+        grad_vmem[slot] = jnp.transpose(g16)           # [16, CHUNK]
+        dma_out(slot, c).start()
 
         s0n = s0 + jnp.sum(cr * contrib, axis=0, keepdims=True)
         s1n = s1 + jnp.sum(cg * contrib, axis=0, keepdims=True)
@@ -379,10 +476,27 @@ def _backward_kernel(starts_ref, counts_ref,
         s3n = s3 + jnp.sum(cd * contrib, axis=0, keepdims=True)
         return logT_start, s0n, s1n, s2n, s3n
 
-    z = jnp.zeros((1, PIX), jnp.float32)
+    z = jnp.zeros((1, pix), jnp.float32)
     safe_ft = jnp.maximum(final_t, 1e-30)
     init = (jnp.log(safe_ft), z, z, z, z)
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    jax.lax.fori_loop(0, n_act, body, init)
+
+    # drain all outstanding write DMAs before the next program may overwrite
+    # the overlap region of the shared output buffer
+    @pl.when(n_act >= 1)
+    def _():
+        dma_out((n_act - 1) % 2, 0).wait()
+
+    @pl.when(n_act >= 2)
+    def _():
+        dma_out((n_act - 2) % 2, 0).wait()
+
+    def zwait(z, _):
+        pltpu.make_async_copy(
+            zero_vmem, egrad_hbm.at[:, pl.ds(0, CHUNK)], zsem).wait()
+        return _
+
+    jax.lax.fori_loop(0, n_zero, zwait, 0)
 
 
 @functools.partial(
@@ -394,8 +508,9 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
                    num_tiles: int, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float = 1.0 / 255.0,
                    use_lod: bool = False, interpret: bool = False):
-    """Hand-derived backward -> per-entry gradients [max_dup, 16]."""
-    assert tile_h * tile_w == PIX
+    """Hand-derived backward -> per-entry gradients [16, cap]."""
+    pix = tile_h * tile_w
+    assert pix % 128 == 0
     kernel = functools.partial(
         _backward_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
         height=height, alpha_min=alpha_min, use_lod=use_lod)
@@ -405,20 +520,22 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, PIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 4, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, N_ENTRY_COLS, CHUNK), jnp.float32),
-            pltpu.VMEM((N_GRAD_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, N_GRAD_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_GRAD_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -44,7 +44,7 @@ class RenderResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("sh_degree", "width", "height", "cfg", "k_max",
-                     "antialiasing", "use_lod"))
+                     "antialiasing", "use_lod", "want_seen"))
 def render_arrays(
     means3d: jnp.ndarray,       # [N,3]
     scales: jnp.ndarray,        # [N,3] linear (activated)
@@ -67,8 +67,13 @@ def render_arrays(
     k_max: int = 1024,
     antialiasing: bool = False,
     use_lod: bool = False,
+    want_seen: bool = False,
 ) -> RenderResult:
-    """Render activated Gaussian arrays. Fully differentiable."""
+    """Render activated Gaussian arrays. Fully differentiable.
+
+    ``want_seen`` makes the Pallas path emit exact per-Gaussian applied
+    flags (the CUDA `seen` buffer, forward.cu:568) at the cost of one extra
+    flag write per entry chunk — off by default for training steps."""
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
 
@@ -84,10 +89,15 @@ def render_arrays(
 
     color = sh_ops.sh_color(sh_degree, shs, means3d, campos)
 
+    # tight alpha-aware coverage on the production path; the scan path keeps
+    # the reference's circle rects (it is the parity ground truth)
+    tight = cfg.backend == "pallas" and cfg.tight_binning
     bins = bin_gaussians(
         jax.lax.stop_gradient(xy), jax.lax.stop_gradient(proj.depth),
         proj.radius, proj.valid,
-        width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup)
+        width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup,
+        ext=jax.lax.stop_gradient(proj.ext) if tight else None,
+        reff2=jax.lax.stop_gradient(proj.reff2) if tight else None)
 
     invdepth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
     if cfg.backend == "pallas":
@@ -101,7 +111,7 @@ def render_arrays(
             abins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
             ts if use_lod else None, kids if use_lod else None,
             width=width, height=height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            t_eps=cfg.t_eps, alpha_min=cfg.alpha_min)
+            t_eps=cfg.t_eps, alpha_min=cfg.alpha_min, want_seen=want_seen)
     else:
         out = rasterize_scan(
             bins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,

@@ -164,3 +164,126 @@ def test_invdepth_gradient_not_dropped():
     invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
     g = np.asarray(jax.grad(loss)(invd))
     assert np.abs(g).max() > 0
+
+
+def test_tight_binning_image_parity():
+    """Alpha-aware tight coverage must not change the image: every dropped
+    entry fails the kernel's own alpha >= alpha_min skip."""
+    xyz, scales, quats, ops, colors, cam = make_scene(150, seed=13, big=True)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.full((3,), 0.25)
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP)
+    out_ref = rasterize_scan(
+        bins, proj.xy, proj.conic, proj.opacity, color, invd, bg, None, None,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, k_max=256)
+
+    out_tight = rasterize_pallas_full(
+        proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+        proj.opacity, color, invd, bg,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, max_dup=MAX_DUP,
+        ext=proj.ext, reff2=proj.reff2, interpret=True)
+
+    bins_t = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                           W, H, TILE_W, TILE_H, MAX_DUP,
+                           ext=proj.ext, reff2=proj.reff2)
+    assert int(bins_t.num_dup) < int(bins.num_dup)  # actually tighter
+    np.testing.assert_allclose(np.asarray(out_tight.image),
+                               np.asarray(out_ref.image), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_tight.final_t),
+                               np.asarray(out_ref.final_t), atol=5e-5)
+
+
+def test_seen_parity_vs_scan():
+    """Exact per-Gaussian seen flags from the Pallas kernel match the scan
+    path (the CUDA forward's seen buffer, forward.cu:568)."""
+    out_ref, _, (proj, color, invd, bg, ts, kids) = run_both(n=120, seed=21)
+    out_pal = rasterize_pallas_full(
+        proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+        proj.opacity, color, invd, bg,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, max_dup=MAX_DUP,
+        want_seen=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_pal.seen),
+                                  np.asarray(out_ref.seen))
+    assert np.asarray(out_pal.seen).any()
+
+
+def test_gradient_parity_saturated():
+    """Dense overlapping scene: early stop saturates tiles, so the backward
+    n_contrib bound skips and zero-fills tail chunks — gradients must still
+    match autodiff through the scan."""
+    xyz, scales, quats, ops, colors, cam = make_scene(200, seed=3, big=True)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP)
+    tgt = jnp.asarray(np.random.default_rng(4).uniform(0, 1, (3, H, W))
+                      .astype(np.float32))
+
+    def loss_ref(xy, op, col):
+        out = rasterize_scan(bins, xy, proj.conic, op, col, invd, bg,
+                             None, None, width=W, height=H, tile_w=TILE_W,
+                             tile_h=TILE_H, k_max=512)
+        return jnp.abs(out.image - tgt).mean()
+
+    def loss_pal(xy, op, col):
+        out = rasterize_pallas_full(
+            xy, proj.depth, proj.radius, proj.valid, proj.conic, op, col,
+            invd, bg, width=W, height=H, tile_w=TILE_W, tile_h=TILE_H,
+            max_dup=MAX_DUP, interpret=True)
+        return jnp.abs(out.image - tgt).mean()
+
+    args = (proj.xy, proj.opacity, color)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(*args)
+    for name, gr, gp in zip(("xy", "op", "color"), g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-12
+        np.testing.assert_allclose(gp / scale, gr / scale, atol=5e-4,
+                                   err_msg=name)
+
+
+def test_pix256_tile_parity():
+    """256-pixel (16x16) tiles: same image as the scan reference."""
+    xyz, scales, quats, ops, colors, cam = make_scene(100, seed=17)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.full((3,), 0.1)
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, 16, 16, MAX_DUP)
+    out_ref = rasterize_scan(
+        bins, proj.xy, proj.conic, proj.opacity, color, invd, bg, None, None,
+        width=W, height=H, tile_w=16, tile_h=16, k_max=256)
+    out_pal = rasterize_pallas_full(
+        proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+        proj.opacity, color, invd, bg,
+        width=W, height=H, tile_w=16, tile_h=16, max_dup=MAX_DUP,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pal.image),
+                               np.asarray(out_ref.image), atol=2e-5)
+
+    def loss_pal(op):
+        out = rasterize_pallas_full(
+            proj.xy, proj.depth, proj.radius, proj.valid, proj.conic, op,
+            color, invd, bg, width=W, height=H, tile_w=16, tile_h=16,
+            max_dup=MAX_DUP, interpret=True)
+        return out.image.sum()
+
+    def loss_ref(op):
+        out = rasterize_scan(
+            bins, proj.xy, proj.conic, op, color, invd, bg, None, None,
+            width=W, height=H, tile_w=16, tile_h=16, k_max=256)
+        return out.image.sum()
+
+    g_pal = np.asarray(jax.grad(loss_pal)(proj.opacity))
+    g_ref = np.asarray(jax.grad(loss_ref)(proj.opacity))
+    scale = np.abs(g_ref).max() + 1e-12
+    np.testing.assert_allclose(g_pal / scale, g_ref / scale, atol=3e-4)
