@@ -73,6 +73,12 @@ class GaussianState:
     alive: jnp.ndarray
     nodes: jnp.ndarray
     n_skybox: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # trained-scaffold rows prepended for chunk conditioning occupy
+    # [n_skybox, n_skybox + n_scaffold). They stay trainable (the reference
+    # locks only the skybox, train_single.py:162-168) but are excluded from
+    # densification, pruning and the big-Gaussian shrink
+    # (gaussian_model.py:1465-1466,1513-1514; train_single.py:184-185).
+    n_scaffold: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def capacity(self) -> int:
@@ -90,6 +96,12 @@ class GaussianState:
     def skybox_mask(self) -> jnp.ndarray:
         idx = jnp.arange(self.capacity)
         return idx < self.n_skybox
+
+    @property
+    def protected_mask(self) -> jnp.ndarray:
+        """Skybox + scaffold rows: never densified/pruned/shrunk."""
+        idx = jnp.arange(self.capacity)
+        return idx < self.n_skybox + self.n_scaffold
 
     def params(self) -> dict:
         """The trainable leaves as a dict (for grads/optimizer)."""
@@ -231,6 +243,85 @@ def create_from_points(
         log_scale=state.log_scale.at[:total].set(log_s),
         opacity_logit=state.opacity_logit.at[:total].set(jnp.asarray(op)),
         alive=state.alive.at[:total].set(True),
+    )
+    return state
+
+
+def select_scaffold_ring(scaffold_xyz: np.ndarray, center: np.ndarray,
+                         extent0: float, n_skybox: int) -> np.ndarray:
+    """Scaffold rows a chunk conditions on (reference
+    scene/gaussian_model.py:890-895): points whose Chebyshev x/y distance to
+    the chunk center lies in (0.5*extent, 1.5*extent) — the ring AROUND the
+    chunk, the interior being covered by the chunk's own points — plus every
+    skybox row. extent0 is the chunk's extent[0] (the reference uses the
+    first component for both axes)."""
+    d = np.abs(np.asarray(scaffold_xyz)[:, :2] - np.asarray(center)[:2])
+    m = np.maximum(d[:, 0], d[:, 1])
+    sel = (m > 0.5 * extent0) & (m < 1.5 * extent0)
+    sel[:n_skybox] = True
+    return sel
+
+
+def create_with_scaffold(
+    scaffold: GaussianState,
+    chunk_center: np.ndarray,
+    chunk_extent0: float,
+    points: np.ndarray,
+    colors: np.ndarray,
+    capacity: int,
+    sh_degree: int = 3,
+    n_exposures: int = 1,
+    opacity_init: float = 0.01,
+) -> GaussianState:
+    """Chunk state conditioned on the trained coarse scaffold (reference
+    create_from_pcd with scaffold_file, scene/gaussian_model.py:866-919):
+
+    rows = [scaffold skybox | scaffold ring (trained params, SH zero-padded
+    deg1->deg`sh_degree`) | chunk points]. Scaffold rows keep their trained
+    raw parameters; chunk points get the usual kNN scale / SH-DC init.
+    """
+    sel = select_scaffold_ring(np.asarray(scaffold.xyz), chunk_center,
+                               chunk_extent0, scaffold.n_skybox)
+    sel &= np.asarray(scaffold.alive)
+    rows = np.where(sel)[0]
+    n_scaf = len(rows)
+    n = points.shape[0]
+    if n_scaf + n > capacity:
+        raise ValueError(f"capacity {capacity} < scaffold {n_scaf} + points {n}")
+
+    state = empty_state(capacity, sh_degree, n_exposures,
+                        n_skybox=int(np.sum(rows < scaffold.n_skybox)))
+    k_rest = sh_ops.NUM_COEFFS[sh_degree] - 1
+
+    # trained scaffold rows, SH-rest zero-padded to the chunk's degree
+    f_rest_s = np.zeros((n_scaf, k_rest, 3), np.float32)
+    src_rest = np.asarray(scaffold.f_rest)[rows]
+    f_rest_s[:, :src_rest.shape[1], :] = src_rest
+
+    # chunk point init (reference: kNN scales over the chunk pcd only)
+    pos_j = jnp.asarray(points.astype(np.float32))
+    dist2 = jnp.clip(knn_ops.knn_mean_sq_dist(pos_j, k=3), 1e-7, None)
+    log_s = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
+    f_dc_p = sh_ops.rgb_to_sh(jnp.asarray(colors.astype(np.float32)))[:, None, :]
+    op_p = float(inverse_sigmoid(jnp.float32(opacity_init)))
+
+    total = n_scaf + n
+    state = dataclasses.replace(
+        state,
+        xyz=state.xyz.at[:n_scaf].set(jnp.asarray(np.asarray(scaffold.xyz)[rows]))
+                    .at[n_scaf:total].set(pos_j),
+        f_dc=state.f_dc.at[:n_scaf].set(jnp.asarray(np.asarray(scaffold.f_dc)[rows]))
+                      .at[n_scaf:total].set(f_dc_p),
+        f_rest=state.f_rest.at[:n_scaf].set(jnp.asarray(f_rest_s)),
+        log_scale=state.log_scale.at[:n_scaf].set(
+            jnp.asarray(np.asarray(scaffold.log_scale)[rows]))
+                                 .at[n_scaf:total].set(log_s),
+        quat=state.quat.at[:n_scaf].set(jnp.asarray(np.asarray(scaffold.quat)[rows])),
+        opacity_logit=state.opacity_logit.at[:n_scaf].set(
+            jnp.asarray(np.asarray(scaffold.opacity_logit)[rows]))
+                                         .at[n_scaf:total].set(op_p),
+        alive=state.alive.at[:total].set(True),
+        n_scaffold=n_scaf - int(np.sum(rows < scaffold.n_skybox)),
     )
     return state
 

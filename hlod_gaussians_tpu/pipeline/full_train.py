@@ -71,12 +71,18 @@ def train_flat_scene(
     scale_big_gauss: bool = True,
     logger: Optional[MetricsLogger] = None,
     stage: str = "chunk",
+    initial_state: Optional[gm.GaussianState] = None,
 ) -> flat.FlatTrainState:
-    """The train_single.py loop: step + densify/reset on schedule."""
-    state = gm.create_from_points(
-        points, colors, capacity=capacity, sh_degree=sh_degree,
-        n_exposures=len(views), scene_radius=scene_extent,
-        skybox_num=skybox_num)
+    """The train_single.py loop: step + densify/reset on schedule.
+
+    ``initial_state`` lets the caller pass a scaffold-conditioned chunk
+    state (gm.create_with_scaffold); otherwise a fresh point-cloud init."""
+    state = initial_state if initial_state is not None else \
+        gm.create_from_points(
+            points, colors, capacity=capacity, sh_degree=sh_degree,
+            n_exposures=len(views), scene_radius=scene_extent,
+            skybox_num=skybox_num)
+    skybox_num = state.n_skybox
     ts = flat.init_flat_train(state)
 
     centers = np.stack([np.asarray(v.campos) for v in views])
@@ -199,6 +205,43 @@ def post_optimize(
     return ts
 
 
+def train_coarse_scaffold(
+    views: Sequence,
+    points: np.ndarray, colors: np.ndarray,
+    scene_extent: float,
+    n_iters: int,
+    capacity: int,
+    *,
+    opt: OptimizationConfig = OptimizationConfig(),
+    cfg: RasterizerConfig = RasterizerConfig(),
+    pcfg: "PipelineConfig" = None,
+    skybox_num: int = 100_000,
+    logger: Optional[MetricsLogger] = None,
+) -> flat.FlatTrainState:
+    """Faithful coarse stage (train_coarse.py:29-175): SH degree 1, xyz
+    frozen, opacity logit -3, random background per step, no exposure, no
+    densification, 0.1*extent big-Gaussian shrink."""
+    pcfg = pcfg or PipelineConfig()
+    coarse_opt = coarse_mod.coarse_opt_config(opt)
+    ts = coarse_mod.init_coarse(points, colors, capacity, scene_extent,
+                                skybox_num=skybox_num, n_exposures=len(views))
+    centers = np.stack([np.asarray(v.campos) for v in views])
+    order = scheduler.view_schedule(centers, len(views), n_iters,
+                                    seed=pcfg.seed, walk=pcfg.mh_walk)
+    w, h = views[0].width, views[0].height
+    key = jax.random.PRNGKey(pcfg.seed + 7)
+    for it in range(n_iters):
+        v = views[int(order[it])]
+        key, sub = jax.random.split(key)
+        ts, aux = coarse_mod.coarse_step(
+            ts, _cam_arrays(v), v.image, sub, scene_extent,
+            opt=coarse_opt, cfg=cfg, width=w, height=h, k_max=pcfg.k_max)
+        if logger and it % 50 == 0:
+            logger.log(stage="coarse", it=it, loss=float(aux.loss),
+                       l1=float(aux.l1))
+    return ts
+
+
 def run_pipeline(
     scene: SceneInfo,
     view_loader: Callable[[object], "Camera"] = None,
@@ -209,11 +252,20 @@ def run_pipeline(
     post: PostConfig = PostConfig(),
     cfg: RasterizerConfig = RasterizerConfig(),
     logger: Optional[MetricsLogger] = None,
+    skip_if_exists: bool = False,
+    keep_running: bool = False,
 ) -> dhier_io.DHier:
     """Full pipeline on a loaded scene. Returns the merged hierarchy.
 
     view_loader maps a CameraInfo to a Camera pytree (defaults to
-    data.scene.load_view)."""
+    data.scene.load_view).
+
+    ``skip_if_exists`` resumes a partially-completed run from output_dir
+    artifacts (the reference's --skip_if_exists, scripts/full_train.py:58,82,
+    158); ``keep_running`` continues past failed chunks (--keep_running,
+    scripts/full_train.py:59)."""
+    from hlod_gaussians_tpu.utils import checkpoint as ckpt
+
     if view_loader is None:
         view_loader = load_view
     if output_dir:
@@ -221,13 +273,17 @@ def run_pipeline(
 
     views_all = [view_loader(ci) for ci in scene.train_cameras]
 
-    # 1) coarse scaffold over every view
-    coarse_opt = coarse_mod.coarse_opt_config(opt)
-    ts_coarse = train_flat_scene(
-        views_all, scene.points, scene.colors, scene.extent,
-        pcfg.coarse_iters, pcfg.coarse_capacity,
-        opt=coarse_opt, cfg=cfg, pcfg=pcfg, skybox_num=pcfg.skybox_num,
-        sh_degree=1, logger=logger, stage="coarse")
+    # 1) coarse scaffold over every view (random bg, frozen xyz, skybox)
+    coarse_path = os.path.join(output_dir, "scaffold.npz") if output_dir else ""
+    if skip_if_exists and coarse_path and os.path.exists(coarse_path):
+        ts_coarse = ckpt.load_flat_state(coarse_path)
+    else:
+        ts_coarse = train_coarse_scaffold(
+            views_all, scene.points, scene.colors, scene.extent,
+            pcfg.coarse_iters, pcfg.coarse_capacity, opt=opt, cfg=cfg,
+            pcfg=pcfg, skybox_num=pcfg.skybox_num, logger=logger)
+        if coarse_path:
+            ckpt.save_flat_state(coarse_path, ts_coarse)
 
     # 2) chunks (falls back to one whole-scene "chunk")
     chunks = chunking.make_chunks(scene, chunk_size=pcfg.chunk_size,
@@ -243,24 +299,43 @@ def run_pipeline(
     chunk_dhiers: List[dhier_io.DHier] = []
     centers = []
     for chunk in chunks:
-        cams = [views_all[info_to_idx[id(ci)]] for ci in chunk.cameras]
-        pts = scene.points[chunk.point_mask]
-        cols = scene.colors[chunk.point_mask]
-        ts_chunk = train_flat_scene(
-            cams, pts, cols, scene.extent, pcfg.chunk_iters,
-            pcfg.chunk_capacity, opt=opt, cfg=cfg, pcfg=pcfg,
-            sh_degree=3, logger=logger, stage=f"chunk{chunk.index}")
-        d = state_to_hierarchy(ts_chunk)
-        d_post = post_optimize(
-            d, cams, scene.extent, pcfg.post_iters, pcfg.chunk_capacity,
-            opt=opt, post=post, cfg=cfg, pcfg=pcfg, logger=logger)
-        chunk_dhiers.append(post_mod.state_to_dhier(d_post.gaussians))
-        centers.append(chunk.center)
-        if output_dir:
-            cd = os.path.join(output_dir, f"chunk_{chunk.index[0]}_{chunk.index[1]}")
-            chunking.save_chunk_meta(cd, chunk)
-            dhier_io.save_dhier(os.path.join(cd, "hierarchy.dhier_opt"),
-                                chunk_dhiers[-1])
+        cd = os.path.join(output_dir,
+                          f"chunk_{chunk.index[0]}_{chunk.index[1]}") \
+            if output_dir else ""
+        hier_path = os.path.join(cd, "hierarchy.dhier_opt") if cd else ""
+        if skip_if_exists and hier_path and os.path.exists(hier_path):
+            chunk_dhiers.append(dhier_io.load_dhier(hier_path))
+            centers.append(chunk.center)
+            continue
+        try:
+            cams = [views_all[info_to_idx[id(ci)]] for ci in chunk.cameras]
+            pts = scene.points[chunk.point_mask]
+            cols = scene.colors[chunk.point_mask]
+            # scaffold conditioning (gaussian_model.py:866-919): ring-select
+            # the trained scaffold around this chunk and prepend it
+            init_state = gm.create_with_scaffold(
+                ts_coarse.gaussians, chunk.center, float(chunk.extent[0]),
+                pts, cols, pcfg.chunk_capacity, sh_degree=3,
+                n_exposures=len(cams))
+            ts_chunk = train_flat_scene(
+                cams, pts, cols, scene.extent, pcfg.chunk_iters,
+                pcfg.chunk_capacity, opt=opt, cfg=cfg, pcfg=pcfg,
+                sh_degree=3, logger=logger, stage=f"chunk{chunk.index}",
+                initial_state=init_state)
+            d = state_to_hierarchy(ts_chunk)
+            d_post = post_optimize(
+                d, cams, scene.extent, pcfg.post_iters, pcfg.chunk_capacity,
+                opt=opt, post=post, cfg=cfg, pcfg=pcfg, logger=logger)
+            chunk_dhiers.append(post_mod.state_to_dhier(d_post.gaussians))
+            centers.append(chunk.center)
+            if cd:
+                chunking.save_chunk_meta(cd, chunk)
+                dhier_io.save_dhier(hier_path, chunk_dhiers[-1])
+        except Exception:
+            if not keep_running:
+                raise
+            if logger:
+                logger.log(stage=f"chunk{chunk.index}", error=1)
 
     merged = merge.merge_hierarchies(chunk_dhiers, np.stack(centers))
     if output_dir:

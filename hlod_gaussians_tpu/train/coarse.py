@@ -56,4 +56,4 @@ def coarse_step(ts: flat.FlatTrainState, cam_arrays, gt_image, key,
         exposure_idx=jnp.int32(0), scene_extent=scene_extent,
         opt=opt, cfg=cfg, width=width, height=height, k_max=k_max,
         sh_degree=1, use_exposure=False, skybox_locked=False,
-        scale_big_gauss=True)
+        scale_big_gauss=True, big_gauss_frac=0.1)

@@ -72,7 +72,7 @@ class StepAux(NamedTuple):
     jax.jit,
     static_argnames=("opt", "cfg", "width", "height", "k_max", "sh_degree",
                      "use_exposure", "skybox_locked", "antialiasing",
-                     "scale_big_gauss"),
+                     "scale_big_gauss", "big_gauss_frac"),
     donate_argnames=("ts",))
 def train_step(
     ts: FlatTrainState,
@@ -94,6 +94,7 @@ def train_step(
     skybox_locked: bool = False,
     antialiasing: bool = False,
     scale_big_gauss: bool = True,
+    big_gauss_frac: float = 0.02,
 ) -> Tuple[FlatTrainState, StepAux]:
     """One fused optimization step on a single view."""
     g = ts.gaussians
@@ -155,12 +156,15 @@ def train_step(
     new_params, adam = optim.sparse_adam_update(params, grads, ts.adam, lrs,
                                                 visible=visible)
 
-    # big-Gaussian shrink (train_single.py:180-186): scales over 2% of the
-    # scene extent shrink by 0.8 each step (skybox/scaffold excluded).
+    # big-Gaussian shrink (train_single.py:180-186): scales over
+    # big_gauss_frac of the scene extent shrink by 0.8 each step (2% for
+    # chunk training, 10% for the coarse scaffold, train_coarse.py:168-172);
+    # skybox and scaffold rows excluded (train_single.py:184-185).
     if scale_big_gauss:
         ls = new_params["log_scale"]
-        viol = (jnp.max(ls, axis=-1) > jnp.log(scene_extent * 0.02)) & g.alive
-        viol = viol & (~g.skybox_mask)
+        viol = (jnp.max(ls, axis=-1)
+                > jnp.log(scene_extent * big_gauss_frac)) & g.alive
+        viol = viol & (~g.protected_mask)
         ls = jnp.where(viol[:, None], ls + jnp.log(0.8), ls)
         new_params = dict(new_params, log_scale=ls)
 
@@ -190,7 +194,7 @@ def densify_step(ts: FlatTrainState, scene_extent,
 
     score = ts.xyz_grad_accum * ts.max_radii * jnp.power(opacity, 0.2)
     sel = (score >= opt.densify_grad_threshold) & (opacity > 0.15)
-    sel = sel & g.alive & (~g.skybox_mask)
+    sel = sel & g.alive & (~g.protected_mask)
     sel = sel & (g.nodes[:, gm.NODE_CHILD_COUNT] <= 0)
 
     free = ~g.alive

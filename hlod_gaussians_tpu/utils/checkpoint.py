@@ -50,9 +50,21 @@ def save_checkpoint(path: str, ts: Union[FlatTrainState, PostTrainState]
         arrays["xyz_grad_accum"] = np.asarray(ts.xyz_grad_accum)
         arrays["denom"] = np.asarray(ts.denom)
         arrays["max_radii"] = np.asarray(ts.max_radii)
-    meta = dict(kind=type(ts).__name__, n_skybox=ts.gaussians.n_skybox)
+    meta = dict(kind=type(ts).__name__, n_skybox=ts.gaussians.n_skybox,
+                n_scaffold=ts.gaussians.n_scaffold)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+
+def save_flat_state(path: str, ts: FlatTrainState) -> None:
+    """Alias used by the pipeline's stage-resume (scaffold snapshot)."""
+    save_checkpoint(path, ts)
+
+
+def load_flat_state(path: str) -> FlatTrainState:
+    ts = load_checkpoint(path)
+    assert isinstance(ts, FlatTrainState), type(ts)
+    return ts
 
 
 def load_checkpoint(path: str) -> Union[FlatTrainState, PostTrainState]:
@@ -67,7 +79,8 @@ def load_checkpoint(path: str) -> Union[FlatTrainState, PostTrainState]:
         opacity_logit=jnp.asarray(z["g_opacity_logit"]),
         exposure=jnp.asarray(z["g_exposure"]),
         alive=jnp.asarray(z["g_alive"]), nodes=jnp.asarray(z["g_nodes"]),
-        n_skybox=int(meta["n_skybox"]))
+        n_skybox=int(meta["n_skybox"]),
+        n_scaffold=int(meta.get("n_scaffold", 0)))
     adam = optim.AdamState(
         m={k: jnp.asarray(z[f"m_{k}"]) for k in _PARAM_KEYS},
         v={k: jnp.asarray(z[f"v_{k}"]) for k in _PARAM_KEYS},
