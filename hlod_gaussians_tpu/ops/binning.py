@@ -240,10 +240,9 @@ def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
     rank = pos - gtb[1]
     dst = jnp.where(in_range, gtb[0] + rank, cap)
 
-    # 2-D scatters (leading unit row) keep the fast scatter path
-    put = jnp.stack([bins.sorted_gid, bins.sorted_gen], axis=0)
-    scat = jnp.zeros((2, cap), jnp.int32).at[:, dst].set(put, mode="drop")
-    entry_gid = scat[0]
+    # single-row 2-D scatter (leading unit dim) keeps the fast scatter path
+    entry_gid = jnp.zeros((1, cap), jnp.int32).at[:, dst].set(
+        bins.sorted_gid[None], mode="drop")[0]
     # invert sorted->aligned into generation->aligned by sorting on gen
     _, gen_to_slot = jax.lax.sort(
         (bins.sorted_gen, jnp.where(in_range, dst, cap - 1).astype(jnp.int32)),

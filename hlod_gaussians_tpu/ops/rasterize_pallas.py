@@ -395,7 +395,7 @@ def _backward_kernel(starts_ref, counts_ref,
         dma_in(0, n_act - 1).start()
 
     def body(ci, carry):
-        logT_end, s0, s1, s2, s3 = carry      # suffix color sums [1, pix]
+        logT_end, s_comb = carry   # combined g-weighted suffix sum [1, pix]
         c = n_act - 1 - ci
         slot = ci % 2
 
@@ -430,15 +430,18 @@ def _backward_kernel(starts_ref, counts_ref,
         dcb = jnp.sum(contrib * g2, axis=1, keepdims=True)
         dcd = jnp.sum(contrib * g3, axis=1, keepdims=True)
 
-        # suffix color sums: Suf_k = sum_{j>k} c_j * contrib_j  (+ carry)
-        suf0 = _mm(usq, cr * contrib) + s0
-        suf1 = _mm(usq, cg * contrib) + s1
-        suf2 = _mm(usq, cb * contrib) + s2
-        suf3 = _mm(usq, cd * contrib) + s3
+        # dL/dalpha (backward.cu:606-634). The four per-channel suffix sums
+        # Suf_k = sum_{j>k} c_j contrib_j only ever appear contracted with
+        # the per-pixel upstream grads g, which are constant in k — so the
+        # contraction commutes into the matmul operand and ONE triangular
+        # matmul over the g-weighted colors replaces four:
+        #   sum_ch g_ch * Suf_k^ch = [usq @ (contrib * cdotg)]_k
+        cdotg = cr * g0 + cg * g1 + cb * g2 + cd * g3     # [CHUNK, pix]
+        pcg = contrib * cdotg
+        suf_comb = _mm(usq, pcg) + s_comb
 
-        # dL/dalpha (backward.cu:606-634)
-        dal = (cr * g0 + cg * g1 + cb * g2 + cd * g3) * t_before
-        dal = dal - (suf0 * g0 + suf1 * g1 + suf2 * g2 + suf3 * g3) / one_m
+        dal = cdotg * t_before
+        dal = dal - suf_comb / one_m
         dal = dal - dT_total * final_t / one_m
         dal = jnp.where(applied, dal, 0.0)
 
@@ -470,15 +473,12 @@ def _backward_kernel(starts_ref, counts_ref,
         grad_vmem[slot] = jnp.transpose(g16)           # [16, CHUNK]
         dma_out(slot, c).start()
 
-        s0n = s0 + jnp.sum(cr * contrib, axis=0, keepdims=True)
-        s1n = s1 + jnp.sum(cg * contrib, axis=0, keepdims=True)
-        s2n = s2 + jnp.sum(cb * contrib, axis=0, keepdims=True)
-        s3n = s3 + jnp.sum(cd * contrib, axis=0, keepdims=True)
-        return logT_start, s0n, s1n, s2n, s3n
+        s_comb_n = s_comb + jnp.sum(pcg, axis=0, keepdims=True)
+        return logT_start, s_comb_n
 
     z = jnp.zeros((1, pix), jnp.float32)
     safe_ft = jnp.maximum(final_t, 1e-30)
-    init = (jnp.log(safe_ft), z, z, z, z)
+    init = (jnp.log(safe_ft), z)
     jax.lax.fori_loop(0, n_act, body, init)
 
     # drain all outstanding write DMAs before the next program may overwrite
