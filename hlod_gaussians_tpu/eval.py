@@ -46,13 +46,29 @@ def eval_views(
     levels: Sequence[float] = DEFAULT_LIMITS,
     *,
     level_is_tau: bool = False,
+    boxes=None,                          # (box_lo, box_hi, max_side) for the
+                                         # upstream box metric (tau protocol)
     budget: int = 1 << 18,
     cfg: RasterizerConfig = RasterizerConfig(),
     k_max: int = 1024,
     bg=(0.0, 0.0, 0.0),
     lpips_fn=None,
+    warn=None,
 ) -> List[EvalResult]:
-    """Sweep granularity levels over the test split."""
+    """Sweep granularity levels over the test split.
+
+    With ``level_is_tau`` levels are pixel granularities converted per view
+    (render_hierarchy.py:56); pass ``boxes`` (e.g. from
+    hierarchy.boxes.compute_node_boxes or a loaded .hier) to cut on the
+    reference's projected-box metric instead of the dynamic one.
+    """
+    import warnings
+    if lpips_fn is None:
+        (warn or warnings.warn)(
+            "LPIPS unavailable (no local VGG weights) — reporting "
+            "PSNR/SSIM only", stacklevel=2)
+    if boxes is not None:
+        boxes = tuple(jnp.asarray(np.asarray(b, np.float32)) for b in boxes)
     act = gm.activate(state)
     out: List[EvalResult] = []
     for level in levels:
@@ -68,7 +84,7 @@ def eval_views(
                 state.nodes, state.alive,
                 cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
                 cam.tan_fovy, jnp.asarray(np.asarray(bg, np.float32)),
-                max(target, 1e-12),
+                max(target, 1e-12), boxes,
                 sh_degree=state.sh_degree, width=cam.width, height=cam.height,
                 budget=budget, n_skybox=state.n_skybox, cfg=cfg, k_max=k_max)
             img = jnp.clip(res.image, 0.0, 1.0)

@@ -148,6 +148,7 @@ def render_lod(
     nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
     target_size,
+    boxes=None,                  # optional (box_lo[C,3], box_hi[C,3], max_side[C])
     *,
     sh_degree: int, width: int, height: int,
     budget: int,                 # static capacity of the cut (padded)
@@ -160,11 +161,15 @@ def render_lod(
     """Hierarchical LOD render: granularity cut -> parent interpolation ->
     rasterize with in-kernel LOD alpha correction.
 
-    One jitted pipeline fusing the reference's expand_to_size_dynamic +
-    get_interpolation_weights_dynamic + render_post(interp_python=True)
+    One jitted pipeline fusing the reference's expand_to_size[_dynamic] +
+    get_interpolation_weights[_dynamic] + render_post(interp_python=True)
     call chain (render_hierarchy.py:32-120, runtime_switching.cu:533-684,
-    gaussian_renderer/__init__.py:241-401). The cut is compacted into a
-    static `budget`-sized index set; overflow beyond the budget drops the
+    gaussian_renderer/__init__.py:241-401). With ``boxes`` the cut uses the
+    upstream PROJECTED-BOX metric (computeSizeGPU,
+    runtime_switching.cu:210-219 — the tau-sweep protocol,
+    render_hierarchy.py:56-80); otherwise the fork's dynamic
+    max-scale/distance metric. The cut is compacted into a static
+    `budget`-sized index set; overflow beyond the budget drops the
     smallest-size nodes' entries (detectable via n_selected output).
 
     Returns (RenderResult, n_selected).
@@ -173,20 +178,28 @@ def render_lod(
 
     c = means3d.shape[0]
     max_scale = jnp.max(scales, axis=-1)
-    # camera forward axis in world space: third column of the world->view
-    # linear block (row-vector convention)
-    zdir = world_view[:3, 2]
-    cut = cut_mod.expand_to_size_dynamic(
-        nodes, means3d, max_scale, alive, campos, zdir, target_size,
-        use_frustum=use_frustum)
+    if boxes is not None:
+        box_lo, box_hi, max_side = boxes
+        cut = cut_mod.expand_to_size_box(
+            nodes, box_lo, box_hi, max_side, alive, campos, target_size)
+    else:
+        # camera forward axis in world space: third column of the
+        # world->view linear block (row-vector convention)
+        zdir = world_view[:3, 2]
+        cut = cut_mod.expand_to_size_dynamic(
+            nodes, means3d, max_scale, alive, campos, zdir, target_size,
+            use_frustum=use_frustum)
 
     mask = cut.render_mask
     n_selected = jnp.sum(mask)
     # sort-based compaction: TPU sorts are fast while nonzero's scatter
-    # lowering scalarizes; stable sort keeps selected indices in order
-    _, idx = jax.lax.sort(
-        ((~mask).astype(jnp.int32), jnp.arange(c, dtype=jnp.int32)),
-        num_keys=1, is_stable=True)
+    # lowering scalarizes. Secondary key = descending projected size, so a
+    # budget overflow drops the smallest-on-screen nodes first.
+    neg_size = -jnp.where(jnp.isfinite(cut.size), cut.size, 3.4e38)
+    _, _, idx = jax.lax.sort(
+        ((~mask).astype(jnp.int32), neg_size,
+         jnp.arange(c, dtype=jnp.int32)),
+        num_keys=2)
     take = min(budget, c)
     idx = idx[:take]
     if take < budget:
