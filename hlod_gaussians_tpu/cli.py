@@ -66,6 +66,20 @@ def cmd_eval(args):
                               mean_rendered=r.mean_rendered)))
 
 
+_RES_BUCKETS = ((256, 192), (512, 384), (800, 600), (1024, 768),
+                (1280, 960), (1600, 1200), (1920, 1440))
+
+
+def _res_bucket(w, h):
+    """Round a client window up to a fixed bucket so render_lod compiles at
+    most once per bucket instead of per window size (remote-compile TPU
+    path: minutes per shape)."""
+    for bw, bh in _RES_BUCKETS:
+        if w <= bw and h <= bh:
+            return bw, bh
+    return _RES_BUCKETS[-1]
+
+
 def cmd_viewer(args):
     import numpy as np
     import jax.numpy as jnp
@@ -75,28 +89,56 @@ def cmd_viewer(args):
     from hlod_gaussians_tpu.data import dhier as dhier_io
     from hlod_gaussians_tpu.models import gaussians as gm
     from hlod_gaussians_tpu.train import post as post_mod
+    from hlod_gaussians_tpu.viewer import maintenance as maint
     from hlod_gaussians_tpu.viewer.server import ViewerServer
 
     d = dhier_io.load_dhier(args.hierarchy)
     cap = 1 << (int(np.ceil(np.log2(d.pos.shape[0] + 1))))
     state = post_mod.create_from_dhier(d, capacity=cap)
     act = gm.activate(state)
-    cfg = RasterizerConfig(backend=args.backend, tile_w=16, tile_h=8,
+    cfg = RasterizerConfig(backend=args.backend, tile_w=16, tile_h=16,
                            max_dup=1 << 20)
 
+    # persistent incremental cut (runtime_switching.cu:236-491 re-design)
+    budget = 1 << 19
+    active = jnp.asarray(maint.initial_cut(np.asarray(state.nodes),
+                                           np.asarray(state.alive)))
+    ctrl = maint.BudgetController(budget=budget)
+    max_scale = jnp.max(act.scales, axis=-1)
+
     def render_fn(cam, opts):
-        target = float(opts.get("slider", {}).get("granularity", 0.001))
+        nonlocal active
+        target = float(opts.get("slider", {}).get("granularity",
+                                                  ctrl.target))
+        vp = jnp.asarray(cam.campos.astype(np.float32))
+        # a few split/collapse passes per frame: the cut tracks the camera
+        # incrementally instead of being recomputed from scratch
+        for _ in range(4):
+            active, n_s, n_c = maint.incremental_cut_step(
+                state.nodes, act.means3d, max_scale, state.alive, active,
+                vp, max(target, 1e-9))
+            if int(n_s) + int(n_c) == 0:
+                break
+        target = ctrl.update(int(jnp.sum(active)))
+
+        bw, bh = _res_bucket(cam.width, cam.height)
+        sy = bh / cam.height
         out, _ = render_mod.render_lod(
             act.means3d, act.scales, act.quats, act.opacities, act.shs,
             state.nodes, state.alive,
             jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
-            jnp.asarray(cam.campos.astype(np.float32)),
-            jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
-            jnp.zeros(3), max(target, 1e-9),
-            sh_degree=state.sh_degree, width=cam.width, height=cam.height,
-            budget=1 << 19, n_skybox=state.n_skybox, cfg=cfg)
+            vp, jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
+            jnp.zeros(3), max(target, 1e-9), None, active,
+            sh_degree=state.sh_degree, width=bw, height=bh,
+            budget=budget, n_skybox=state.n_skybox, cfg=cfg)
         img = np.asarray(jnp.clip(out.image, 0, 1))
-        return (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8)
+        img = np.transpose(img, (1, 2, 0))
+        if (bw, bh) != (cam.width, cam.height):
+            yi = np.clip((np.arange(cam.height) * sy).astype(int), 0, bh - 1)
+            xi = np.clip((np.arange(cam.width) * bw / cam.width).astype(int),
+                         0, bw - 1)
+            img = img[yi][:, xi]
+        return (img * 255).astype(np.uint8)
 
     srv = ViewerServer(args.host, args.port)
     print(f"viewer listening on {args.host}:{srv.port}")

@@ -33,6 +33,31 @@ def sh_to_rgb(sh):
     return sh * C0 + 0.5
 
 
+def sh_basis(deg: int, dirs):
+    """Real SH basis values b_k at unit directions: [..., K].
+
+    Same polynomials/signs as the reference (forward.cu:25-76)."""
+    x = dirs[..., 0]
+    y = dirs[..., 1]
+    z = dirs[..., 2]
+    b = [jnp.full_like(x, C0)]
+    if deg > 0:
+        b += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            b += [C2[0] * x * y, C2[1] * y * z,
+                  C2[2] * (2.0 * zz - xx - yy),
+                  C2[3] * x * z, C2[4] * (xx - yy)]
+            if deg > 2:
+                b += [C3[0] * y * (3.0 * xx - yy), C3[1] * x * y * z,
+                      C3[2] * y * (4.0 * zz - xx - yy),
+                      C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                      C3[4] * x * (4.0 * zz - xx - yy),
+                      C3[5] * z * (xx - yy),
+                      C3[6] * x * (xx - 3.0 * yy)]
+    return jnp.stack(b, axis=-1)
+
+
 def eval_sh(deg: int, sh, dirs):
     """Evaluate SH at unit directions.
 
@@ -43,35 +68,14 @@ def eval_sh(deg: int, sh, dirs):
 
     Returns [..., 3] raw colors (no +0.5 offset, no clamp) — matching the
     reference's eval_sh; use `sh_color` for the rasterizer semantics.
+
+    The basis-times-coefficients contraction is one einsum: XLA lowers it
+    at memory bandwidth, while the naive sum of [..., 3]-shaped terms runs
+    at 3/128 lane efficiency on TPU (~100x slower at 100k Gaussians).
     """
-    result = C0 * sh[..., 0, :]
-    if deg > 0:
-        x = dirs[..., 0:1]
-        y = dirs[..., 1:2]
-        z = dirs[..., 2:3]
-        result = (result
-                  - C1 * y * sh[..., 1, :]
-                  + C1 * z * sh[..., 2, :]
-                  - C1 * x * sh[..., 3, :])
-        if deg > 1:
-            xx, yy, zz = x * x, y * y, z * z
-            xy, yz, xz = x * y, y * z, x * z
-            result = (result
-                      + C2[0] * xy * sh[..., 4, :]
-                      + C2[1] * yz * sh[..., 5, :]
-                      + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
-                      + C2[3] * xz * sh[..., 7, :]
-                      + C2[4] * (xx - yy) * sh[..., 8, :])
-            if deg > 2:
-                result = (result
-                          + C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
-                          + C3[1] * xy * z * sh[..., 10, :]
-                          + C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
-                          + C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
-                          + C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
-                          + C3[5] * z * (xx - yy) * sh[..., 14, :]
-                          + C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :])
-    return result
+    k = NUM_COEFFS[deg]
+    b = sh_basis(deg, dirs)
+    return jnp.einsum("...k,...kc->...c", b, sh[..., :k, :])
 
 
 def sh_color(deg: int, sh, means, campos):

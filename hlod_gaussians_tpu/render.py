@@ -149,6 +149,10 @@ def render_lod(
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
     target_size,
     boxes=None,                  # optional (box_lo[C,3], box_hi[C,3], max_side[C])
+    cut_mask=None,               # optional [C] bool: externally-maintained cut
+                                 # (viewer incremental maintenance) — replaces
+                                 # the size-rule selection; ts/kids still come
+                                 # from the size metric
     *,
     sh_degree: int, width: int, height: int,
     budget: int,                 # static capacity of the cut (padded)
@@ -190,7 +194,9 @@ def render_lod(
             nodes, means3d, max_scale, alive, campos, zdir, target_size,
             use_frustum=use_frustum)
 
-    mask = cut.render_mask
+    from hlod_gaussians_tpu.models.gaussians import NODE_DEPTH
+    mask = cut.render_mask if cut_mask is None else \
+        (cut_mask & alive & (nodes[:, NODE_DEPTH] >= 0))
     n_selected = jnp.sum(mask)
     # sort-based compaction: TPU sorts are fast while nonzero's scatter
     # lowering scalarizes. Secondary key = descending projected size, so a
