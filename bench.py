@@ -51,8 +51,8 @@ def main():
     n = p["xyz"].shape[0]
     cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=0.8,
                       width=width, height=height)
-    cfg = RasterizerConfig(backend="pallas", tile_w=32, tile_h=16,
-                           max_dup=1 << 20, tight_binning=True)
+    cfg = RasterizerConfig(backend="pallas", tile_w=32, tile_h=32,
+                           max_dup=448 * 1024, tight_binning=True)
 
     gt = jnp.zeros((3, height, width), jnp.float32)
     valid = jnp.ones((n,), bool)

@@ -290,3 +290,36 @@ def spt_cut(
 
     return SPTCut(gaussian_mask=mask, spt_selected=spt_sel,
                   spt_distance=dist, n_selected=jnp.sum(mask))
+
+
+@functools.partial(jax.jit, static_argnames=("use_frustum", "retries"))
+def spt_cut_budgeted(
+    forest: SPTForest,
+    capacity_mask_shape: jnp.ndarray,
+    campos: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    budget,
+    base_multiplier: jnp.ndarray = 1.0,
+    grow: float = 1.5,
+    use_frustum: bool = True,
+    retries: int = 3,
+) -> "SPTCut":
+    """spt_cut with the over-budget fallback INSIDE the jit.
+
+    The reference re-cuts with distance_multiplier *= 1.5 until the working
+    set fits (train_post.py:324-430) — a device->host sync per view. Here
+    the candidate multipliers (base * grow^k) are evaluated in one program
+    and the smallest one under budget wins, so the training loop never
+    syncs on the cut size. Returns the chosen cut (its spt_distance already
+    includes the winning multiplier).
+    """
+    cuts = [spt_cut(forest, capacity_mask_shape, campos, full_proj,
+                    distance_multiplier=base_multiplier * (grow ** k),
+                    use_frustum=use_frustum)
+            for k in range(retries)]
+    best = cuts[-1]
+    for cut in reversed(cuts[:-1]):
+        ok = cut.n_selected <= budget
+        best = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), cut, best)
+    return best

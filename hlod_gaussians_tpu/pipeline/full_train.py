@@ -178,15 +178,12 @@ def post_optimize(
 
     for it in range(n_iters):
         v = views[int(order[it])]
-        cut = spt_mod.spt_cut(forest, dummy, v.campos, v.full_proj)
-        # over-budget fallback: coarsen by raising the distance multiplier
-        # (train_post.py:324-430, Max_Gaussian_Budget x1.5 loop)
-        mult = 1.0
-        while (int(cut.n_selected) > post.max_gaussian_budget
-               and mult < 100.0):
-            mult *= post.distance_multiplier_until_budget
-            cut = spt_mod.spt_cut(forest, dummy, v.campos, v.full_proj,
-                                  distance_multiplier=mult)
+        # over-budget fallback (train_post.py:324-430) evaluated INSIDE the
+        # jit — no device->host sync on the cut size per view
+        cut = spt_mod.spt_cut_budgeted(
+            forest, dummy, v.campos, v.full_proj,
+            jnp.int32(post.max_gaussian_budget),
+            grow=post.distance_multiplier_until_budget)
         ts, aux = post_mod.post_train_step(
             ts, cut.gaussian_mask, *_cam_arrays(v), v.image, jnp.zeros(3),
             scene_extent, opt=opt, post=post, cfg=cfg, width=w, height=h,

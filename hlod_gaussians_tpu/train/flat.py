@@ -178,15 +178,19 @@ def train_step(
     return new_ts, aux
 
 
-@functools.partial(jax.jit, static_argnames=("opt",),
+@functools.partial(jax.jit, static_argnames=("opt", "mode"),
                    donate_argnames=("ts",))
 def densify_step(ts: FlatTrainState, scene_extent,
-                 *, opt: OptimizationConfig = OptimizationConfig()
+                 *, opt: OptimizationConfig = OptimizationConfig(),
+                 mode: str = "split",
                  ) -> Tuple[FlatTrainState, jnp.ndarray]:
-    """Hierarchy-aware split: each selected leaf gains two children written
-    into free capacity slots (reference densify, gaussian_model.py:1452-1503).
+    """Hierarchy-aware densification: each selected leaf gains two children
+    written into free capacity slots.
 
-    Returns (new_state, number_of_split_leaves).
+    mode="split" divides the children's scale and opacity by 0.8*N
+    (reference densify, gaussian_model.py:1452-1503); mode="clone" copies
+    them unchanged (densify_and_clone, gaussian_model.py:1404-1449).
+    Returns (new_state, number_of_densified_leaves).
     """
     g = ts.gaussians
     cap = g.capacity
@@ -206,10 +210,18 @@ def densify_step(ts: FlatTrainState, scene_extent,
     c0 = jnp.where(can, free_idx[jnp.clip(2 * rank, 0, cap - 1)], cap)
     c1 = jnp.where(can, free_idx[jnp.clip(2 * rank + 1, 0, cap - 1)], cap)
 
-    # child parameters: same xyz/features/rotation; scale & opacity / (0.8*N)
-    inv08n = 1.0 / (0.8 * 2.0)
-    child_ls = g.log_scale + jnp.log(inv08n)
-    child_op = gm.inverse_sigmoid(jnp.clip(opacity * inv08n, 1e-6, 1 - 1e-6))[:, None]
+    # child parameters: same xyz/features/rotation; split divides scale &
+    # opacity by 0.8*N, clone copies verbatim
+    if mode == "split":
+        inv08n = 1.0 / (0.8 * 2.0)
+        child_ls = g.log_scale + jnp.log(inv08n)
+        child_op = gm.inverse_sigmoid(
+            jnp.clip(opacity * inv08n, 1e-6, 1 - 1e-6))[:, None]
+    elif mode == "clone":
+        child_ls = g.log_scale
+        child_op = g.opacity_logit
+    else:
+        raise ValueError(mode)
 
     def scatter2(dst, src):
         return dst.at[c0].set(src, mode="drop").at[c1].set(src, mode="drop")

@@ -298,3 +298,246 @@ def make_numpy_offloaded_step(
         return loss, n_vis
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Packed + pipelined out-of-core loop
+# ---------------------------------------------------------------------------
+#
+# The plain NumpyStore path pays 18 host gathers + 18 H2D transfers + 18
+# D2H readbacks per step (params/m/v x 6 keys), each a separate tunnel RPC.
+# The packed path stores params+Adam moments as ONE row-major [cap, D]
+# matrix, so a step is: ONE numpy gather -> ONE transfer -> jitted compute
+# (which unpacks/repacks by column slicing, free under XLA) -> ONE readback
+# -> ONE numpy scatter. On top, `run_pipelined` software-pipelines the
+# host work against the device: compute(k) is dispatched asynchronously,
+# then the host writes back view k-1 and prefetches view k+1 while the
+# device renders — the double-buffering of the reference's [WRITE-BACK]/
+# [LOAD] phases (train_post.py:440-479) without streams.
+
+def _packed_layout(sh_degree: int):
+    """Column layout of one packed row: params then m then v."""
+    k_rest = {0: 0, 1: 3, 2: 8, 3: 15}[sh_degree]
+    sizes = dict(xyz=3, f_dc=3, f_rest=3 * k_rest, log_scale=3, quat=4,
+                 opacity_logit=1)
+    cols = {}
+    off = 0
+    for group in ("p", "m", "v"):
+        for k in _ROW_KEYS:
+            cols[(group, k)] = (off, off + sizes[k])
+            off += sizes[k]
+    return cols, off, k_rest
+
+
+def pack_store(state: GaussianState,
+               adam: Optional[optim.AdamState] = None) -> np.ndarray:
+    """GaussianState (+Adam) -> packed [cap, D] float32 host matrix."""
+    cols, d, k_rest = _packed_layout(state.sh_degree)
+    cap = state.capacity
+    out = np.zeros((cap, d), np.float32)
+
+    def put(group, key, arr):
+        lo, hi = cols[(group, key)]
+        out[:, lo:hi] = np.asarray(arr).reshape(cap, -1)
+
+    for k in _ROW_KEYS:
+        put("p", k, getattr(state, k))
+        if adam is not None:
+            put("m", k, adam.m[k])
+            put("v", k, adam.v[k])
+    return out
+
+
+def unpack_rows(packed: jnp.ndarray, sh_degree: int):
+    """[K, D] device rows -> (params dict, m dict, v dict)."""
+    cols, _, k_rest = _packed_layout(sh_degree)
+    k = packed.shape[0]
+    shapes = dict(xyz=(k, 3), f_dc=(k, 1, 3), f_rest=(k, k_rest, 3),
+                  log_scale=(k, 3), quat=(k, 4), opacity_logit=(k, 1))
+
+    def grab(group):
+        return {key: packed[:, cols[(group, key)][0]:cols[(group, key)][1]]
+                .reshape(shapes[key]) for key in _ROW_KEYS}
+
+    return grab("p"), grab("m"), grab("v")
+
+
+def pack_rows(p: Dict, m: Dict, v: Dict, sh_degree: int) -> jnp.ndarray:
+    """(params, m, v) row dicts -> [K, D] packed device matrix."""
+    cols, d, _ = _packed_layout(sh_degree)
+    k = p["xyz"].shape[0]
+    parts = []
+    for group, src in (("p", p), ("m", m), ("v", v)):
+        for key in _ROW_KEYS:
+            parts.append(src[key].reshape(k, -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+class PackedStore:
+    """Packed mutable host store: params + Adam moments in one matrix."""
+
+    def __init__(self, packed: np.ndarray, sh_degree: int, step: int = 0):
+        self.data = packed
+        self.sh_degree = sh_degree
+        self.step = step
+
+    @classmethod
+    def from_state(cls, state: GaussianState,
+                   adam: Optional[optim.AdamState] = None) -> "PackedStore":
+        return cls(pack_store(state, adam), state.sh_degree,
+                   step=0 if adam is None else int(adam.step))
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+
+def make_packed_offloaded_step(
+    *,
+    opt: OptimizationConfig = OptimizationConfig(),
+    post: PostConfig = PostConfig(),
+    cfg: RasterizerConfig = RasterizerConfig(),
+    width: int, height: int, k_max: int = 1024,
+    sh_degree: int = 1,
+    antialiasing: bool = False,
+    scene_extent: float = 1.0,
+):
+    """Returns (dispatch, writeback): the two host-side halves of a step.
+
+    dispatch(store, idx_np, cam...) -> handle — gathers+uploads the working
+    set and dispatches the jitted compute (returns immediately; device runs
+    in the background).
+    writeback(store, handle) -> (loss, n_vis) — blocks on the device
+    result and scatters it into the store.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def compute(packed_rows, step_count, idx_valid, world_view, full_proj,
+                campos, tan_fovx, tan_fovy, gt_image, bg):
+        rows, m_rows, v_rows = unpack_rows(packed_rows, sh_degree)
+        new_p, new_m, new_v, loss, n_vis = _compute_phase(
+            rows, m_rows, v_rows, step_count, idx_valid, world_view,
+            full_proj, campos, tan_fovx, tan_fovy, gt_image, bg,
+            opt=opt, post=post, cfg=cfg, width=width, height=height,
+            k_max=k_max, sh_degree=sh_degree, antialiasing=antialiasing,
+            scene_extent=scene_extent)
+        return pack_rows(new_p, new_m, new_v, sh_degree), loss, n_vis
+
+    def dispatch(store: PackedStore, idx_np, world_view, full_proj, campos,
+                 tan_fovx, tan_fovy, gt_image, bg):
+        valid_np = idx_np < store.capacity
+        idx_c = np.minimum(idx_np, store.capacity - 1)
+        rows = jnp.asarray(store.data[idx_c])           # ONE gather+upload
+        out = compute(rows, jnp.int32(store.step), jnp.asarray(valid_np),
+                      world_view, full_proj, campos, tan_fovx, tan_fovy,
+                      gt_image, bg)
+        store.step += 1
+        return (out, idx_c, valid_np)
+
+    def writeback(store: PackedStore, handle):
+        (packed_new, loss, n_vis), idx_c, valid_np = handle
+        wb = idx_c[valid_np]
+        store.data[wb] = np.asarray(packed_new)[valid_np]   # ONE readback
+        return loss, n_vis
+
+    return dispatch, writeback
+
+
+class DeviceResidentTrainer:
+    """Out-of-core training with a device-resident working-set cache.
+
+    The reference's SPT cache (train_post.py:323-491): parameters + Adam
+    moments live packed in host RAM; the device owns `budget` row slots.
+    Per view, rows ENTERING the working set are fetched (one gather +
+    upload), rows LEAVING are read back and scattered into the host store,
+    and retained rows never move — so per-step transfer scales with the
+    cut DELTA, which the cache-coherent view schedule
+    (utils/scheduler.py, consistency_graph.py:18-48) keeps small. Updates
+    stay on-device between steps; results are bit-identical to the
+    sequential path because every row has exactly one live copy.
+    """
+
+    def __init__(self, store: PackedStore, budget: int, *,
+                 opt: OptimizationConfig = OptimizationConfig(),
+                 post: PostConfig = PostConfig(),
+                 cfg: RasterizerConfig = RasterizerConfig(),
+                 width: int, height: int, k_max: int = 1024,
+                 antialiasing: bool = False, scene_extent: float = 1.0):
+        self.store = store
+        self.budget = budget
+        self.sh_degree = store.sh_degree
+        self.slot_of_row = np.full(store.capacity, -1, np.int32)
+        self.row_of_slot = np.full(budget, -1, np.int32)
+        self.free = list(range(budget - 1, -1, -1))
+        d = store.data.shape[1]
+        # TRANSPOSED device buffer [D, budget]: slot fetch/evict are
+        # minor-axis gathers/scatters (row-major slot indexing scalarizes
+        # on TPU — 32k-row evictions took seconds; see tpu notes)
+        self.buf = jnp.zeros((d, budget), jnp.float32)
+        self._opt = opt
+        sh_degree = store.sh_degree
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _compute(packed_cols, step_count, valid, world_view, full_proj,
+                     campos, tan_fovx, tan_fovy, gt_image, bg):
+            rows, m_rows, v_rows = unpack_rows(packed_cols.T, sh_degree)
+            new_p, new_m, new_v, loss, n_vis = _compute_phase(
+                rows, m_rows, v_rows, step_count, valid, world_view,
+                full_proj, campos, tan_fovx, tan_fovy, gt_image, bg,
+                opt=opt, post=post, cfg=cfg, width=width, height=height,
+                k_max=k_max, sh_degree=sh_degree, antialiasing=antialiasing,
+                scene_extent=scene_extent)
+            return pack_rows(new_p, new_m, new_v, sh_degree).T, loss, n_vis
+
+        self._compute = _compute
+        self.last_fetch = 0
+        self.last_evict = 0
+
+    def _sync(self, rows_needed: np.ndarray) -> None:
+        """Evict slots whose rows left the set; fetch missing rows."""
+        need = set(rows_needed.tolist())
+        resident_rows = np.where(self.slot_of_row >= 0)[0]
+        evict = [int(r) for r in resident_rows if r not in need]
+        if evict:
+            ev_rows = np.asarray(evict, np.int32)
+            ev_slots = self.slot_of_row[ev_rows]
+            self.store.data[ev_rows] = np.asarray(
+                self.buf[:, jnp.asarray(ev_slots)]).T
+            for r, sl in zip(ev_rows, ev_slots):
+                self.slot_of_row[r] = -1
+                self.row_of_slot[sl] = -1
+                self.free.append(int(sl))
+        missing = [int(r) for r in rows_needed if self.slot_of_row[r] < 0]
+        if len(missing) > len(self.free):
+            raise RuntimeError(
+                f"working set {len(rows_needed)} > budget {self.budget}")
+        if missing:
+            rows = np.asarray(missing, np.int32)
+            slots = np.asarray([self.free.pop() for _ in missing], np.int32)
+            for r, sl in zip(rows, slots):
+                self.slot_of_row[r] = sl
+                self.row_of_slot[sl] = r
+            self.buf = self.buf.at[:, jnp.asarray(slots)].set(
+                jnp.asarray(self.store.data[rows].T))
+        self.last_fetch = len(missing)
+        self.last_evict = len(evict)
+
+    def step(self, rows_needed: np.ndarray, world_view, full_proj, campos,
+             tan_fovx, tan_fovy, gt_image, bg):
+        """One training step on the given working-set rows (host indices)."""
+        rows_needed = np.asarray(rows_needed, np.int32)
+        self._sync(rows_needed)
+        valid = jnp.asarray(self.row_of_slot >= 0)
+        self.buf, loss, n_vis = self._compute(
+            self.buf, jnp.int32(self.store.step), valid, world_view,
+            full_proj, campos, tan_fovx, tan_fovy, gt_image, bg)
+        self.store.step += 1
+        return loss, n_vis
+
+    def flush(self) -> None:
+        """Write every resident row back to the host store."""
+        rows = np.where(self.slot_of_row >= 0)[0]
+        if len(rows):
+            slots = self.slot_of_row[rows]
+            self.store.data[rows] = np.asarray(
+                self.buf[:, jnp.asarray(slots)]).T

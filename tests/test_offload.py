@@ -143,3 +143,78 @@ def test_numpy_offloaded_matches_resident():
     np.testing.assert_allclose(store.params["xyz"][live],
                                np.asarray(ts2.gaussians.xyz)[live], atol=1e-6)
     assert store.step == 1
+
+
+def test_packed_roundtrip():
+    st, _ = toy()
+    adam = None
+    from hlod_gaussians_tpu import optim
+    adam = optim.init_adam(st.params())
+    store = offload.PackedStore.from_state(st, adam)
+    p, m, v = offload.unpack_rows(jnp.asarray(store.data), st.sh_degree)
+    np.testing.assert_array_equal(np.asarray(p["xyz"]), np.asarray(st.xyz))
+    np.testing.assert_array_equal(np.asarray(p["quat"]), np.asarray(st.quat))
+    repacked = np.asarray(offload.pack_rows(p, m, v, st.sh_degree))
+    np.testing.assert_array_equal(repacked, store.data)
+
+
+def test_device_resident_matches_sequential():
+    """The cached trainer's results are identical to the synchronous numpy
+    paging path across overlapping working sets."""
+    st, cam = toy(seed=3)
+    gt = jnp.full((3, H, W), 0.35)
+
+    # working sets: overlapping windows over the live rows
+    sets = [np.arange(0, 32), np.arange(16, 40), np.arange(8, 36),
+            np.arange(0, 24)]
+
+    # reference: synchronous unpacked paging
+    store_a = offload.to_numpy_store(st)
+    step_a = offload.make_numpy_offloaded_step(
+        cfg=CFG, width=W, height=H, k_max=128, sh_degree=1,
+        scene_extent=2.0)
+    for rows in sets:
+        step_a(store_a, rows.astype(np.int32), cam.world_view, cam.full_proj,
+               cam.campos, cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3))
+
+    # device-resident cached trainer
+    store_b = offload.PackedStore.from_state(st)
+    tr = offload.DeviceResidentTrainer(
+        store_b, budget=64, cfg=CFG, width=W, height=H, k_max=128,
+        scene_extent=2.0)
+    fetches = []
+    for rows in sets:
+        tr.step(rows.astype(np.int32), cam.world_view, cam.full_proj,
+                cam.campos, cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3))
+        fetches.append(tr.last_fetch)
+    tr.flush()
+
+    # delta accounting: step 2 reuses [16,32) -> fetches only 8 new rows
+    assert fetches[0] == 32
+    assert fetches[1] == 8, fetches
+    assert fetches[2] == 8, fetches
+
+    p, m, v = offload.unpack_rows(jnp.asarray(store_b.data), 1)
+    np.testing.assert_allclose(np.asarray(p["xyz"]), store_a.params["xyz"],
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(p["opacity_logit"]),
+                               store_a.params["opacity_logit"],
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(m["xyz"]), store_a.m["xyz"],
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_packed_step_dispatch_writeback():
+    st, cam = toy(seed=5)
+    store = offload.PackedStore.from_state(st)
+    gt = jnp.full((3, H, W), 0.5)
+    dispatch, writeback = offload.make_packed_offloaded_step(
+        cfg=CFG, width=W, height=H, k_max=128, sh_degree=1, scene_extent=2.0)
+    idx = np.arange(32, dtype=np.int32)
+    before = store.data.copy()
+    h = dispatch(store, idx, cam.world_view, cam.full_proj, cam.campos,
+                 cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3))
+    loss, n_vis = writeback(store, h)
+    assert np.isfinite(float(loss)) and int(n_vis) > 0
+    assert (store.data[:32] != before[:32]).any()
+    np.testing.assert_array_equal(store.data[32:], before[32:])

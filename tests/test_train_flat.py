@@ -151,3 +151,39 @@ def test_expon_lr_schedule():
     assert lr0 == pytest.approx(1e-2, rel=1e-5)
     assert lr1 == pytest.approx(1e-4, rel=1e-5)
     assert lr_mid == pytest.approx(1e-3, rel=1e-4)  # log-lerp midpoint
+
+
+def test_densify_clone_mode():
+    """Clone keeps child scale/opacity identical to the parent
+    (densify_and_clone, gaussian_model.py:1404-1449)."""
+    import dataclasses
+
+    from hlod_gaussians_tpu.models import gaussians as gm
+
+    st, cam = _toy_scene() if "_toy_scene" in dir() else (None, None)
+    if st is None:
+        import numpy as np
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(16, 3)).astype(np.float32)
+        pts[:, 2] += 4.0
+        st = gm.create_from_points(pts, rng.random((16, 3)).astype(np.float32),
+                                   capacity=64, sh_degree=1, opacity_init=0.7)
+    ts = flat.init_flat_train(st)
+    ts = dataclasses.replace(
+        ts, xyz_grad_accum=jnp.full((64,), 1e9),
+        max_radii=jnp.full((64,), 100.0))
+    ls_parent = np.asarray(ts.gaussians.log_scale).copy()
+    op_parent = np.asarray(ts.gaussians.opacity_logit).copy()
+    ts2, n = flat.densify_step(ts, 5.0, mode="clone")
+    assert int(n) > 0
+    g = ts2.gaussians
+    nodes = np.asarray(g.nodes)
+    kids = np.where((nodes[:, gm.NODE_PARENT] >= 0)
+                    & np.asarray(g.alive)
+                    & (np.arange(64) >= 16))[0]
+    assert len(kids) == 2 * int(n)
+    for c in kids:
+        p = nodes[c, gm.NODE_PARENT]
+        np.testing.assert_array_equal(np.asarray(g.log_scale)[c], ls_parent[p])
+        np.testing.assert_array_equal(np.asarray(g.opacity_logit)[c],
+                                      op_parent[p])
