@@ -8,7 +8,7 @@ import numpy as np
 
 from hlod_gaussians_tpu.data import colmap as cm
 from hlod_gaussians_tpu.models import gaussians as gm, reorder
-from hlod_gaussians_tpu.preprocess import depth_scale, reorient
+from hlod_gaussians_tpu.preprocess import calibrate, depth_scale, reorient
 
 
 def make_images(centers, look_down=False):
@@ -133,3 +133,84 @@ def test_occlusion_cull_drops_hidden():
         cam.tan_fovx, cam.tan_fovy, width=64, height=64, k_max=64)
     keep = np.asarray(keep)
     assert keep[0] and not keep[3]
+
+
+class TestCalibrationCommands:
+    """Command assembly is testable without COLMAP via runner injection."""
+
+    def _capture(self):
+        cmds = []
+        return cmds, cmds.append
+
+    def test_calibration_uses_matches_importer_not_exhaustive(self, tmp_path):
+        import os
+        img = tmp_path / "inputs" / "images"
+        img.mkdir(parents=True)
+        for i in range(4):
+            (img / f"im{i}.jpg").write_bytes(b"x")
+        cmds, cap = self._capture()
+        calibrate.run_calibration(str(tmp_path), runner=cap)
+        names = [c[1] for c in cmds]
+        assert "matches_importer" in names
+        assert "exhaustive_matcher" not in names
+        assert names.index("feature_extractor") < names.index("matches_importer")
+        # the match list was written and is non-trivial
+        ml = [c for c in cmds if c[1] == "matches_importer"][0]
+        path = ml[ml.index("--match_list_path") + 1]
+        pairs = open(path).read().strip().splitlines()
+        assert len(pairs) == 6  # C(4,2) sequential window
+
+    def test_chunk_refinement_two_rounds(self, tmp_path):
+        import os
+        raw = tmp_path / "raw"
+        (raw / "sparse" / "0").mkdir(parents=True)
+        cmds, cap = self._capture()
+        calibrate.refine_chunk(str(raw), str(tmp_path / "out"),
+                               str(tmp_path / "imgs"),
+                               image_names=[f"i{k}.jpg" for k in range(5)],
+                               runner=cap)
+        names = [c[1] for c in cmds]
+        assert names.count("point_triangulator") == 2
+        assert names.count("bundle_adjuster") == 2
+        # triangulate -> adjust -> triangulate -> adjust ordering
+        seq = [n for n in names if n in ("point_triangulator",
+                                         "bundle_adjuster")]
+        assert seq == ["point_triangulator", "bundle_adjuster",
+                       "point_triangulator", "bundle_adjuster"]
+        # intrinsics frozen during BA (prepare_chunk.py flags)
+        ba = [c for c in cmds if c[1] == "bundle_adjuster"][0]
+        assert "--BundleAdjustment.refine_focal_length" in ba
+        assert ba[ba.index("--BundleAdjustment.refine_focal_length") + 1] == "0"
+
+    def test_depth_generator_commands(self, tmp_path):
+        imgs = tmp_path / "rect"
+        (imgs / "cam0").mkdir(parents=True)
+        (imgs / "cam1").mkdir(parents=True)
+        cmds, cap = self._capture()
+        calibrate.run_depth_generator(str(imgs), str(tmp_path / "depth"),
+                                      generator="Depth-Anything-V2",
+                                      generator_dir="/x", runner=cap)
+        assert len(cmds) == 2   # one per camera folder
+        assert all("--pred-only" in c for c in cmds)
+
+
+class TestBlurFilter:
+    def test_laplacian_variance_sharp_vs_blurred(self):
+        rng = np.random.default_rng(0)
+        sharp = rng.random((64, 64)).astype(np.float32)
+        # heavy box blur
+        blurred = sharp.copy()
+        for _ in range(8):
+            blurred = 0.25 * (np.roll(blurred, 1, 0) + np.roll(blurred, -1, 0)
+                              + np.roll(blurred, 1, 1) + np.roll(blurred, -1, 1))
+        assert calibrate.laplacian_variance(sharp) > \
+            10 * calibrate.laplacian_variance(blurred)
+
+    def test_blur_filter_mask(self):
+        rng = np.random.default_rng(1)
+        sharp = [rng.random((32, 32)).astype(np.float32) for _ in range(3)]
+        flat = [np.full((32, 32), 0.5, np.float32)]
+        mask = calibrate.blur_filter_mask(sharp + flat, lapla_thresh=0.5)
+        assert mask[:3].all() and not mask[3]
+        # disabled threshold keeps everything
+        assert calibrate.blur_filter_mask(sharp + flat, 0.0).all()
