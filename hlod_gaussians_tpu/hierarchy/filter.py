@@ -114,3 +114,51 @@ def sibling_weights(nodes, log_scale, opacity_logit, alive) -> jnp.ndarray:
     norm = norm.at[jnp.where(has_kids, sib, c)].set(
         (w[sib] / denom), mode="drop")
     return jnp.where(alive, norm, 0.0)
+
+
+def compute_anchors(nodes, pos, max_scale, alive, viewpoints,
+                    target_size) -> np.ndarray:
+    """Anchor gaussian indices (AppearanceFilter::writeAnchors,
+    appearance_filter.cpp:377-455): the bottom cut of the
+    visible-from-any-viewpoint set plus everything below it. Rows above the
+    bottom cut are "anchored" detail the filter may prune/freeze."""
+    seen = np.asarray(appearance_filter_mask(
+        nodes, pos, max_scale, alive, viewpoints, target_size))
+    nodes_np = np.asarray(nodes)
+    c = nodes_np.shape[0]
+    parent = nodes_np[:, NODE_PARENT]
+
+    # bottom = seen nodes with no seen child (seen is ancestor-closed)
+    has_seen_child = np.zeros(c, bool)
+    pm = (parent >= 0) & seen
+    has_seen_child[parent[pm]] = True
+    bottom = seen & ~has_seen_child
+
+    # anchors = seen nodes + all descendants of bottom nodes
+    anchor = seen.copy()
+    below = bottom.copy()
+    for _ in range(64):
+        child_of_below = (parent >= 0) & below[np.clip(parent, 0, c - 1)]
+        new = child_of_below & ~below
+        if not new.any():
+            break
+        below |= new
+        anchor |= new
+    return np.where(anchor)[0].astype(np.int32)
+
+
+def write_anchors(path: str, indices: np.ndarray) -> None:
+    """anchors.bin: [int32 count][int32 indices...] — byte-compatible with
+    the reference reader (scene/gaussian_model.py:1004-1013)."""
+    import struct
+    idx = np.asarray(indices, np.int32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", len(idx)))
+        f.write(idx.astype("<i4").tobytes())
+
+
+def read_anchors(path: str) -> np.ndarray:
+    import struct
+    with open(path, "rb") as f:
+        n = struct.unpack("<i", f.read(4))[0]
+        return np.frombuffer(f.read(4 * n), dtype="<i4").copy()

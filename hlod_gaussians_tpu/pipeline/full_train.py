@@ -328,6 +328,16 @@ def run_pipeline(
             if cd:
                 chunking.save_chunk_meta(cd, chunk)
                 dhier_io.save_dhier(hier_path, chunk_dhiers[-1])
+                # anchors.bin next to the hierarchy (the merger chunk path's
+                # AppearanceFilter, mainHierarchyMerger.cpp:79-80)
+                from hlod_gaussians_tpu.hierarchy import filter as flt
+                dd = chunk_dhiers[-1]
+                vps = np.stack([np.asarray(v.campos) for v in cams[:64]])
+                anchors = flt.compute_anchors(
+                    dd.nodes, dd.pos, np.exp(dd.log_scale).max(1),
+                    np.ones(dd.nodes.shape[0], bool), vps,
+                    post.spt_target_granularity)
+                flt.write_anchors(os.path.join(cd, "anchors.bin"), anchors)
         except Exception:
             if not keep_running:
                 raise

@@ -51,8 +51,8 @@ def main():
 
     cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=0.8,
                       width=width, height=height)
-    cfg = RasterizerConfig(backend="pallas", tile_w=16, tile_h=8,
-                           max_dup=1 << 21)
+    cfg = RasterizerConfig(backend="pallas", tile_w=32, tile_h=32,
+                           max_dup=1 << 20, tight_binning=True)
 
     pos = jnp.asarray(h.pos)
     scale = jnp.asarray(h.scale)

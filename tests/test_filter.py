@@ -63,3 +63,41 @@ def test_sibling_weights_normalized():
     root = np.where(nodes[:, NODE_PARENT] == -1)[0]
     alive_roots = [r for r in root if st.alive[r]]
     assert all(abs(w[r] - 1.0) < 1e-6 for r in alive_roots)
+
+
+def test_anchors_roundtrip_and_semantics(tmp_path):
+    """anchors.bin interop (appearance_filter.cpp:377-455 +
+    scene/gaussian_model.py:1004-1013)."""
+    import numpy as np
+
+    from hlod_gaussians_tpu.hierarchy import build as hb, filter as flt
+
+    rng = np.random.default_rng(0)
+    n = 32
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] += 5.0
+    scales = np.exp(rng.uniform(-3.0, -2.0, (n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    ops = rng.uniform(0.4, 0.9, n).astype(np.float32)
+    shs = rng.normal(size=(n, 1, 3)).astype(np.float32)
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    c = h.nodes.shape[0]
+
+    vps = np.array([[0, 0, 0], [1, 0, 0]], np.float32)
+    alive = np.ones(c, bool)
+    anchors = flt.compute_anchors(h.nodes, h.pos, h.scale.max(1), alive,
+                                  vps, 5e-4)
+    assert len(anchors) > 0
+    # every leaf is an anchor (below any bottom cut)
+    import hlod_gaussians_tpu.models.gaussians as gm
+    leaves = np.where(h.nodes[:, gm.NODE_CHILD_COUNT] == 0)[0]
+    assert np.isin(leaves, anchors).all()
+
+    path = str(tmp_path / "anchors.bin")
+    flt.write_anchors(path, anchors)
+    back = flt.read_anchors(path)
+    np.testing.assert_array_equal(back, anchors)
+    # byte layout: little-endian count prefix
+    raw = open(path, "rb").read()
+    assert int.from_bytes(raw[:4], "little") == len(anchors)
