@@ -106,28 +106,62 @@ def cmd_viewer(args):
     ctrl = maint.BudgetController(budget=budget)
     max_scale = jnp.max(act.scales, axis=-1)
 
+    # viewer slider state (reference hierarchy_viewer.py:220-247)
+    frozen_vp = [None]
+
+    # false-color variants of the SH DC band: per-subtree hash coloring
+    # (render_SPTs), camera-distance and size ramps
+    from hlod_gaussians_tpu.models.gaussians import NODE_PARENT
+    nodes_np = np.asarray(state.nodes)
+    root_of = np.arange(state.capacity)
+    par = nodes_np[:, NODE_PARENT]
+    for _ in range(64):
+        nxt = np.where(par[root_of] >= 0, par[root_of], root_of)
+        if (nxt == root_of).all():
+            break
+        root_of = nxt
+    rng_cols = ((root_of * 2654435761) % 255) / 255.0
+    spt_dc = np.stack([rng_cols, (rng_cols * 7.13) % 1.0,
+                       (rng_cols * 3.77) % 1.0], axis=-1)
+    spt_shs = jnp.asarray(
+        ((spt_dc - 0.5) / 0.28209479177387814)[:, None, :]
+        .astype(np.float32))
+
     def render_fn(cam, opts):
         nonlocal active
-        target = float(opts.get("slider", {}).get("granularity",
-                                                  ctrl.target))
-        vp = jnp.asarray(cam.campos.astype(np.float32))
+        sliders = opts.get("slider", {})
+        target = float(sliders.get("granularity", ctrl.target))
+        target *= max(float(sliders.get("distance_multiplier", 1.0)), 1e-6)
+        if sliders.get("freeze_view", 0) > 0:
+            if frozen_vp[0] is None:
+                frozen_vp[0] = cam.campos.astype(np.float32)
+        else:
+            frozen_vp[0] = None
+        cut_vp = jnp.asarray(frozen_vp[0] if frozen_vp[0] is not None
+                             else cam.campos.astype(np.float32))
         # a few split/collapse passes per frame: the cut tracks the camera
         # incrementally instead of being recomputed from scratch
         for _ in range(4):
             active, n_s, n_c = maint.incremental_cut_step(
                 state.nodes, act.means3d, max_scale, state.alive, active,
-                vp, max(target, 1e-9))
+                cut_vp, max(target, 1e-9))
             if int(n_s) + int(n_c) == 0:
                 break
         target = ctrl.update(int(jnp.sum(active)))
 
+        shs_r = act.shs
+        if sliders.get("render_SPTs", 0) > 0:
+            shs_r = jnp.concatenate(
+                [spt_shs, jnp.zeros_like(act.shs[:, 1:])], axis=1)
+
         bw, bh = _res_bucket(cam.width, cam.height)
         sy = bh / cam.height
         out, _ = render_mod.render_lod(
-            act.means3d, act.scales, act.quats, act.opacities, act.shs,
+            act.means3d, act.scales, act.quats, act.opacities, shs_r,
             state.nodes, state.alive,
             jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
-            vp, jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
+            jnp.asarray(cam.campos.astype(np.float32)),
+            jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
             jnp.zeros(3), max(target, 1e-9), None, active,
             sh_degree=state.sh_degree, width=bw, height=bh,
             budget=budget, n_skybox=state.n_skybox, cfg=cfg)

@@ -292,10 +292,22 @@ def run_pipeline(
                                  cameras=list(scene.train_cameras),
                                  point_mask=np.ones(len(scene.points), bool))]
 
+    # multi-process: each process trains its block of chunks (the SLURM job
+    # array, scripts/full_train.py:161-236, as one jax.distributed program
+    # over a shared filesystem); process 0 merges.
+    nproc = jax.process_count()
+    mine = set(range(len(chunks)))
+    if nproc > 1:
+        from hlod_gaussians_tpu.parallel import distributed as dist
+        assert output_dir, "multi-process pipeline needs a shared output_dir"
+        mine = set(dist.process_chunk_assignment(len(chunks)))
+
     info_to_idx = {id(ci): i for i, ci in enumerate(scene.train_cameras)}
     chunk_dhiers: List[dhier_io.DHier] = []
     centers = []
-    for chunk in chunks:
+    for chunk_i, chunk in enumerate(chunks):
+        if chunk_i not in mine:
+            continue
         cd = os.path.join(output_dir,
                           f"chunk_{chunk.index[0]}_{chunk.index[1]}") \
             if output_dir else ""
@@ -343,6 +355,21 @@ def run_pipeline(
                 raise
             if logger:
                 logger.log(stage=f"chunk{chunk.index}", error=1)
+
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("chunks_done")
+        if jax.process_index() != 0:
+            return None
+        # consolidate from the shared filesystem (every process's chunks)
+        chunk_dhiers, centers = [], []
+        for chunk in chunks:
+            cd = os.path.join(output_dir,
+                              f"chunk_{chunk.index[0]}_{chunk.index[1]}")
+            hp = os.path.join(cd, "hierarchy.dhier_opt")
+            if os.path.exists(hp):
+                chunk_dhiers.append(dhier_io.load_dhier(hp))
+                centers.append(chunk.center)
 
     merged = merge.merge_hierarchies(chunk_dhiers, np.stack(centers))
     if output_dir:

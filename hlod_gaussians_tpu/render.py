@@ -252,6 +252,54 @@ def render_lod(
     return out, n_selected
 
 
+def render_lod_auto(
+    means3d, scales, quats, opacities, shs, nodes, alive,
+    world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+    target_size, boxes=None,
+    *,
+    sh_degree: int, width: int, height: int,
+    min_budget: int = 4096,
+    max_budget: int = 1 << 20,
+    n_skybox: int = 0,
+    cfg: RasterizerConfig = RasterizerConfig(),
+    k_max: int = 1024,
+    antialiasing: bool = False,
+    use_frustum: bool = True,
+):
+    """render_lod with the cut budget bucketed to the actual cut size.
+
+    The static `budget` pads every downstream stage (interpolation,
+    compaction, per-Gaussian preprocess), so a coarse tau paying a
+    fine-tau budget wastes most of the frame. This computes the cut mask
+    first, rounds its count up to a power-of-two bucket (one compile per
+    bucket, cached), and reuses the mask via `cut_mask` so selection isn't
+    recomputed against a different rule. Costs one device->host sync per
+    frame — for evaluation/viewing, not the training loop."""
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+
+    if boxes is not None:
+        box_lo, box_hi, max_side = boxes
+        cut = cut_mod.expand_to_size_box(
+            nodes, box_lo, box_hi, max_side, alive, campos, target_size)
+    else:
+        zdir = world_view[:3, 2]
+        cut = cut_mod.expand_to_size_dynamic(
+            nodes, means3d, jnp.max(scales, axis=-1), alive, campos, zdir,
+            target_size, use_frustum=use_frustum)
+    n_sel = int(jnp.sum(cut.render_mask))
+    budget = min_budget
+    while budget < n_sel and budget < max_budget:
+        budget <<= 1
+    budget = min(budget, max_budget, means3d.shape[0])
+    return render_lod(
+        means3d, scales, quats, opacities, shs, nodes, alive,
+        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+        target_size, boxes, cut.render_mask,
+        sh_degree=sh_degree, width=width, height=height, budget=budget,
+        n_skybox=n_skybox, cfg=cfg, k_max=k_max, antialiasing=antialiasing,
+        use_frustum=use_frustum)
+
+
 def render(gaussian_arrays, camera: Camera, bg, *, sh_degree: int,
            cfg: RasterizerConfig = RasterizerConfig(), k_max: int = 1024,
            antialiasing: bool = False) -> RenderResult:

@@ -65,3 +65,52 @@ def view_schedule(centers: Optional[np.ndarray], n_views: int, n_steps: int,
     if walk and centers is not None and n_views > 1:
         return metropolis_hastings_walk(knn_camera_graph(centers), n_steps, rng)
     return shuffled_epochs(n_views, n_steps, rng)
+
+
+def pair_id_to_image_ids(pair_id: int):
+    """COLMAP pair_id decode (reference consistency_graph.py:8-11)."""
+    image_id2 = pair_id % 2147483647
+    image_id1 = (pair_id - image_id2) // 2147483647
+    return int(image_id1), int(image_id2)
+
+
+def load_covisibility_graph(database_path: str,
+                            min_matches: int = 1):
+    """Camera co-visibility graph from a COLMAP database's
+    two_view_geometries table (reference load_consistency_graph,
+    consistency_graph.py:66-86).
+
+    Returns (image_ids sorted list, neighbors [N, k] padded index array,
+    weights [N, k]) suitable for metropolis_hastings_walk — edges weighted
+    by verified match counts."""
+    import sqlite3
+
+    conn = sqlite3.connect(database_path)
+    cur = conn.cursor()
+    cur.execute("SELECT pair_id, rows FROM two_view_geometries;")
+    pairs = cur.fetchall()
+    conn.close()
+
+    adj = {}
+    for pair_id, matches in pairs:
+        if matches is None or matches < min_matches:
+            continue
+        a, b = pair_id_to_image_ids(pair_id)
+        adj.setdefault(a, {})[b] = matches
+        adj.setdefault(b, {})[a] = matches
+
+    ids = sorted(adj)
+    index = {im: i for i, im in enumerate(ids)}
+    n = len(ids)
+    k = max((len(v) for v in adj.values()), default=1)
+    neighbors = np.zeros((n, max(k, 1)), np.int64)
+    weights = np.zeros((n, max(k, 1)), np.float64)
+    for im, nbrs in adj.items():
+        i = index[im]
+        for j, (nb, w) in enumerate(sorted(nbrs.items())):
+            neighbors[i, j] = index[nb]
+            weights[i, j] = w
+        # pad by repeating the first neighbor (uniform-propose safe)
+        for j in range(len(nbrs), neighbors.shape[1]):
+            neighbors[i, j] = neighbors[i, 0]
+    return ids, neighbors, weights

@@ -87,7 +87,29 @@ def main():
             "value": round(width * height / dt / 1e6, 2),
             "unit": "Mpix/s",
             "fps": round(1.0 / dt, 1),
-            "n_rendered": int(n_sel)}))
+            "n_rendered": int(n_sel)}), flush=True)
+
+        # budget-bucketed variant: the cut budget tracks the actual size
+        def run_auto():
+            out = render_mod.render_lod_auto(
+                pos, scale, quat, op, sh, nodes, alive,
+                cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9),
+                sh_degree=0, width=width, height=height,
+                cfg=cfg, k_max=512, use_frustum=False)
+            return out[0].image
+
+        img = run_auto()
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            img = run_auto()
+        jax.block_until_ready(img)
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": f"lod_render_auto_1080p_tau{tau:g}",
+            "value": round(width * height / dt / 1e6, 2),
+            "unit": "Mpix/s", "fps": round(1.0 / dt, 1)}), flush=True)
 
 
 if __name__ == "__main__":

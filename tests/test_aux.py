@@ -124,3 +124,39 @@ def test_viewer_server_roundtrip():
     assert result["verify"] == "hlod_gaussians_tpu"
     assert len(result["img"]) == W * H * 3
     assert result["img"][0] == 7
+
+
+def test_covisibility_graph_from_colmap_db(tmp_path):
+    """two_view_geometries -> neighbor table (consistency_graph.py:66-86)."""
+    import sqlite3
+
+    from hlod_gaussians_tpu.utils import scheduler
+
+    db = str(tmp_path / "database.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE two_view_geometries "
+                 "(pair_id INTEGER PRIMARY KEY, rows INTEGER)")
+
+    def pid(a, b):
+        return a * 2147483647 + b
+
+    # triangle 1-2-3 plus a weak edge to 4
+    for a, b, m in ((1, 2, 50), (2, 3, 80), (1, 3, 30), (3, 4, 5)):
+        conn.execute("INSERT INTO two_view_geometries VALUES (?, ?)",
+                     (pid(a, b), m))
+    conn.commit()
+    conn.close()
+
+    ids, neighbors, weights = scheduler.load_covisibility_graph(db)
+    assert ids == [1, 2, 3, 4]
+    i3 = ids.index(3)
+    assert set(neighbors[i3].tolist()) >= {ids.index(1), ids.index(2),
+                                           ids.index(4)}
+    assert weights.max() == 80
+    # decode round trip
+    assert scheduler.pair_id_to_image_ids(pid(7, 9)) == (7, 9)
+    # the walk runs on it
+    import numpy as np
+    order = scheduler.metropolis_hastings_walk(
+        neighbors, 50, np.random.default_rng(0))
+    assert len(order) == 50 and order.max() < 4
