@@ -36,6 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hlod_gaussians_tpu.models.gaussians import (
+    NODE_CHILD_COUNT, NODE_DEPTH, NODE_FIRST_CHILD, NODE_NEXT_SIBLING,
+    NODE_PARENT)
 from hlod_gaussians_tpu.ops import gaussian_math, quaternion
 
 
@@ -249,6 +252,43 @@ def _merge_level(ph_arrays, lo_i: int, hi_i: int, interior):
     )
 
 
+def _merge_level_avg(ph_arrays, lo_i: int, hi_i: int, interior):
+    """Simple-average merge (reference AvgMerger.cpp:14-44, the alternate
+    merger): parent = mean of children for position/opacity/rotation/SH,
+    SUM of scales (the reference accumulates scale without dividing)."""
+    pos, scale, quat, opacity, sh, box_lo, box_hi, max_side = ph_arrays
+    c_lo, c_hi = 2 * lo_i + 1, 2 * hi_i + 1
+    m = hi_i - lo_i
+
+    def ch(x, off):
+        return x[c_lo + off: c_hi + off: 2]
+
+    mpos = 0.5 * (ch(pos, 0) + ch(pos, 1))
+    mscale = ch(scale, 0) + ch(scale, 1)
+    q = 0.5 * (ch(quat, 0) + ch(quat, 1))
+    mquat = q / jnp.maximum(
+        jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    mop = 0.5 * (ch(opacity, 0) + ch(opacity, 1))
+    msh = 0.5 * (ch(sh, 0) + ch(sh, 1))
+
+    blo = jnp.minimum(ch(box_lo, 0), ch(box_lo, 1))
+    bhi = jnp.maximum(ch(box_hi, 0), ch(box_hi, 1))
+    mside = jnp.max(bhi - blo, axis=-1)
+
+    msk = interior[lo_i:hi_i]
+
+    def sel(new, old):
+        b = msk.reshape((m,) + (1,) * (new.ndim - 1))
+        return jnp.where(b, new, old)
+
+    return (
+        sel(mpos, pos[lo_i:hi_i]), sel(mscale, scale[lo_i:hi_i]),
+        sel(mquat, quat[lo_i:hi_i]), sel(mop, opacity[lo_i:hi_i]),
+        sel(msh, sh[lo_i:hi_i]), sel(blo, box_lo[lo_i:hi_i]),
+        sel(bhi, box_hi[lo_i:hi_i]), sel(mside, max_side[lo_i:hi_i]),
+    )
+
+
 # 24 proper signed axis permutations for rotation alignment
 def _proper_perms():
     perms, signs = [], []
@@ -293,9 +333,10 @@ def align_rotations_to(parent_quat, child_quat, child_scale):
     return new_quat, new_scale
 
 
-@functools.partial(jax.jit, static_argnames=("n_levels",))
+@functools.partial(jax.jit, static_argnames=("n_levels", "merger"))
 def build_hierarchy_padded(means, scales, quats, opacities, shs,
-                           *, n_levels: int) -> PaddedHierarchy:
+                           *, n_levels: int,
+                           merger: str = "cluster") -> PaddedHierarchy:
     """Full hierarchy build (kd split + merge + align) on heap-padded arrays."""
     n = means.shape[0]
     h_cap = 2 ** (n_levels + 1) - 1
@@ -322,9 +363,10 @@ def build_hierarchy_padded(means, scales, quats, opacities, shs,
 
     # bottom-up merge, level by level (static slice per level)
     arrays = [pos, scale, quat, opacity, sh, box_lo, box_hi, max_side]
+    merge_fn = {"cluster": _merge_level, "avg": _merge_level_avg}[merger]
     for level in range(n_levels - 1, -1, -1):
         lo_i, hi_i = 2 ** level - 1, 2 ** (level + 1) - 1
-        merged = _merge_level(tuple(arrays), lo_i, hi_i, interior)
+        merged = merge_fn(tuple(arrays), lo_i, hi_i, interior)
         arrays = [a.at[lo_i:hi_i].set(mnew) for a, mnew in zip(arrays, merged)]
     pos, scale, quat, opacity, sh, box_lo, box_hi, max_side = arrays
 
@@ -408,11 +450,62 @@ def compact_hierarchy(ph: PaddedHierarchy) -> Hierarchy:
         max_side=take(ph.max_side), leaf_point=take(ph.leaf_point))
 
 
-def build_hierarchy(means, scales, quats, opacities, shs) -> Hierarchy:
-    """Offline entry point: numpy/jnp in, dense Hierarchy out."""
+def build_hierarchy(means, scales, quats, opacities, shs,
+                    merger: str = "cluster") -> Hierarchy:
+    """Offline entry point: numpy/jnp in, dense Hierarchy out.
+
+    merger="cluster" is the production covariance-preserving merge
+    (ClusterMerger.cpp); "avg" is the simple-average alternate
+    (AvgMerger.cpp)."""
     n = int(means.shape[0])
     n_levels = _num_levels(n)
     ph = build_hierarchy_padded(
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
-        jnp.asarray(opacities), jnp.asarray(shs), n_levels=n_levels)
+        jnp.asarray(opacities), jnp.asarray(shs), n_levels=n_levels,
+        merger=merger)
     return compact_hierarchy(ph)
+
+
+def build_flat(means, scales, quats, opacities, shs) -> Hierarchy:
+    """Single-root flat "hierarchy" (reference FlatGenerator.cpp:14-31 +
+    AvgMerger root): node 0 is an average-merged root whose children are
+    every input Gaussian, chained as siblings."""
+    import numpy as np
+
+    n = int(means.shape[0])
+    c = n + 1
+    nodes = np.full((c, 6), -1, np.int32)
+    # root
+    nodes[0, NODE_DEPTH] = 0
+    nodes[0, NODE_PARENT] = -1
+    nodes[0, NODE_CHILD_COUNT] = n
+    nodes[0, NODE_FIRST_CHILD] = 1
+    # leaves
+    nodes[1:, NODE_DEPTH] = 1
+    nodes[1:, NODE_PARENT] = 0
+    nodes[1:, NODE_CHILD_COUNT] = 0
+    nodes[1:, NODE_FIRST_CHILD] = -1
+    nodes[1:c - 1, NODE_NEXT_SIBLING] = np.arange(2, c, dtype=np.int32)
+
+    q = np.mean(np.asarray(quats), axis=0)
+    q /= max(np.linalg.norm(q), 1e-12)
+    pos = np.concatenate([np.mean(np.asarray(means), 0, keepdims=True),
+                          np.asarray(means)], 0).astype(np.float32)
+    scale = np.concatenate([np.sum(np.asarray(scales), 0, keepdims=True),
+                            np.asarray(scales)], 0).astype(np.float32)
+    quat = np.concatenate([q[None], np.asarray(quats)], 0).astype(np.float32)
+    op = np.concatenate([[np.mean(np.asarray(opacities))],
+                         np.asarray(opacities)], 0).astype(np.float32)
+    sh = np.concatenate([np.mean(np.asarray(shs), 0, keepdims=True),
+                         np.asarray(shs)], 0).astype(np.float32)
+    r = 3.0 * scale.max(axis=1, keepdims=True)
+    box_lo = pos - r
+    box_hi = pos + r
+    box_lo[0] = np.concatenate([pos[1:] - r[1:]]).min(0)
+    box_hi[0] = np.concatenate([pos[1:] + r[1:]]).max(0)
+    leaf_point = np.concatenate(
+        [[-1], np.arange(n, dtype=np.int32)]).astype(np.int32)
+    return Hierarchy(pos=pos, scale=scale, quat=quat, opacity=op, sh=sh,
+                     nodes=nodes, box_lo=box_lo, box_hi=box_hi,
+                     max_side=(box_hi - box_lo).max(1).astype(np.float32),
+                     leaf_point=leaf_point)

@@ -256,3 +256,41 @@ def test_sym_eigh3_degenerate():
         np.testing.assert_allclose(np.sort(ev[i]),
                                    np.sort(np.linalg.eigvalsh(mats[i])),
                                    atol=1e-3)
+
+
+def test_avg_merger_variant():
+    """AvgMerger.cpp semantics: parent = child mean (scale summed)."""
+    rng = np.random.default_rng(4)
+    n = 8
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    scales = np.full((n, 3), 0.1, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    ops = rng.uniform(0.3, 0.8, n).astype(np.float32)
+    shs = rng.normal(size=(n, 1, 3)).astype(np.float32)
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs, merger="avg")
+    nodes = h.nodes
+    # parent position = mean of its two children; scale = sum
+    for i in range(nodes.shape[0]):
+        if nodes[i, 2] == 2:   # child_count
+            c0 = nodes[i, 3]
+            c1 = nodes[c0, 4]
+            np.testing.assert_allclose(
+                h.pos[i], 0.5 * (h.pos[c0] + h.pos[c1]), atol=1e-5)
+            np.testing.assert_allclose(
+                h.scale[i], h.scale[c0] + h.scale[c1], atol=1e-5)
+
+
+def test_flat_generator():
+    """FlatGenerator.cpp: one root, all inputs as direct children."""
+    from hlod_gaussians_tpu.hierarchy.cut import sanity_check_hierarchy
+
+    rng = np.random.default_rng(5)
+    n = 10
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    h = hb.build_flat(pts, np.full((n, 3), 0.1, np.float32),
+                      np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+                      rng.uniform(0.2, 0.9, n).astype(np.float32),
+                      rng.normal(size=(n, 1, 3)).astype(np.float32))
+    assert h.nodes.shape[0] == n + 1
+    assert h.nodes[0, 2] == n
+    sanity_check_hierarchy(h.nodes, np.ones(n + 1, bool))
