@@ -114,9 +114,13 @@ def relocate_gs(
     *,
     budget: int = 4096,
     max_depth: int = 40,
+    extra_dead: "jnp.ndarray" = None,
 ) -> Tuple[GaussianState, optim.AdamState, jnp.ndarray]:
     """Respawn dead leaves at sampled alive leaves with tree contraction
     (reference relocate_gs, gaussian_model.py:1588-1698).
+
+    ``extra_dead`` ([C] bool) extends the low-opacity dead set — the MIP
+    respawn of never-visible SPT entries (train_post.py:752-761).
 
     Processes up to `budget` dead leaves per call. Returns
     (state, adam, n_relocated).
@@ -128,6 +132,8 @@ def relocate_gs(
     usable = state.alive & is_leaf & (~state.skybox_mask) & (nodes[:, NODE_DEPTH] >= 0)
 
     dead = usable & (opacity < dead_opacity)
+    if extra_dead is not None:
+        dead = dead | (usable & extra_dead)
     # if a node AND its sibling are dead, keep the sibling (second child)
     sib_ptr = jnp.where(dead, nodes[:, NODE_NEXT_SIBLING], cap)
     is_dead_sibling = jnp.zeros((cap,), bool).at[sib_ptr].set(True, mode="drop")

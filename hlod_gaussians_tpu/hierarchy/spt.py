@@ -323,3 +323,24 @@ def spt_cut_budgeted(
         best = jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), cut, best)
     return best
+
+
+@jax.jit
+def mip_respawn_mask(forest: SPTForest, capacity_mask_shape: jnp.ndarray,
+                     camera_positions: jnp.ndarray) -> jnp.ndarray:
+    """[C] bool: SPT entries too fine to EVER be selected from any training
+    camera (reference Use_MIP_respawn, train_post.py:752-761): an entry is
+    unreachable when its max-distance window lies below the closest camera's
+    distance to its SPT root — it will never enter a working set, so its
+    capacity is better spent elsewhere (relocate_gs extra_dead)."""
+    c = capacity_mask_shape.shape[0]
+    # [S] closest-camera distance per SPT root
+    d = jnp.linalg.norm(forest.spt_root_xyz[:, None, :]
+                        - camera_positions[None, :, :], axis=-1)
+    min_d = jnp.min(d, axis=1)
+    from hlod_gaussians_tpu.ops import gather_rows
+    (d_e,) = gather_rows([min_d], forest.entry_spt)
+    never = forest.entry_max < d_e
+    return jnp.zeros((c,), bool)[None].at[
+        :, jnp.where(never, forest.entry_gid, c)].max(
+        never[None], mode="drop")[0]

@@ -190,7 +190,14 @@ def post_optimize(
             k_max=pcfg.k_max, sh_degree=d.sh_degree)
         if it > 0 and it % pcfg.post_densify_interval == 0:
             key, sub = jax.random.split(key)
-            ts, stats = post_mod.densify_round(ts, sub, post=post)
+            extra_dead = None
+            if post.use_mip_respawn:
+                # relocate SPT entries no training camera can ever select
+                # (train_post.py:752-761)
+                extra_dead = spt_mod.mip_respawn_mask(
+                    forest, dummy, jnp.asarray(centers.astype(np.float32)))
+            ts, stats = post_mod.densify_round(ts, sub, post=post,
+                                               extra_dead=extra_dead)
             forest = post_mod.rebuild_spt(ts.gaussians, post=post)
             if logger:
                 logger.log(stage="post_densify", it=it,

@@ -261,10 +261,12 @@ def densify_round(
     post: PostConfig = PostConfig(),
     budget: int = 4096,
     max_depth: int = 40,
+    extra_dead=None,
 ) -> Tuple[PostTrainState, dict]:
     """Grow + relocate, as the reference does every densify_interval
     (train_post.py:707-788): add_new_gs toward cap_max (5% growth), then
-    relocate dead leaves."""
+    relocate dead leaves. ``extra_dead`` feeds the MIP respawn of
+    never-visible SPT entries (spt.mip_respawn_mask)."""
     g = ts.gaussians
     k1, k2 = jax.random.split(key)
     size = jnp.sum(g.alive)
@@ -275,7 +277,8 @@ def densify_round(
 
     g2, adam2, n_pairs = mcmc.add_new_gs(g, ts.adam, k1, n_new, budget=budget)
     g3, adam3, n_reloc = mcmc.relocate_gs(
-        g2, adam2, k2, post.dead_opacity, budget=budget, max_depth=max_depth)
+        g2, adam2, k2, post.dead_opacity, budget=budget, max_depth=max_depth,
+        extra_dead=extra_dead)
     stats = dict(n_added_pairs=n_pairs, n_relocated=n_reloc,
                  size=jnp.sum(g3.alive))
     return PostTrainState(gaussians=g3, adam=adam3, step=ts.step), stats

@@ -120,3 +120,48 @@ def test_distance_multiplier_coarsens():
     coarse = spt_mod.spt_cut(forest, jnp.zeros(m), campos, proj,
                              distance_multiplier=8.0, use_frustum=False)
     assert int(coarse.n_selected) <= int(base.n_selected)
+
+
+def test_mip_respawn_mask():
+    """Entries whose max-distance window is below every camera's distance
+    are flagged for relocation (train_post.py:752-761)."""
+    import jax.numpy as jnp
+
+    forest, state = _small_forest() if "_small_forest" in dir() else (None, None)
+    if forest is None:
+        import numpy as np
+        from hlod_gaussians_tpu.train import post as post_mod
+        from hlod_gaussians_tpu.hierarchy import build as hb
+        from hlod_gaussians_tpu.data.dhier import DHier
+        from hlod_gaussians_tpu.config import PostConfig
+
+        rng = np.random.default_rng(0)
+        n = 32
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        pts[:, 2] += 5.0
+        scales = np.exp(rng.uniform(-3.0, -2.0, (n, 3))).astype(np.float32)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+        h = hb.build_hierarchy(pts, scales, quats,
+                               rng.uniform(0.3, 0.9, n).astype(np.float32),
+                               rng.normal(size=(n, 1, 3)).astype(np.float32))
+        d = DHier(sh_degree=0, pos=h.pos, quat=h.quat,
+                  log_scale=np.log(np.maximum(h.scale, 1e-9)).astype(np.float32),
+                  opacity=np.clip(h.opacity, 0.01, 0.99).astype(np.float32),
+                  shs=h.sh.astype(np.float32), nodes=h.nodes)
+        state = post_mod.create_from_dhier(d, capacity=128)
+        # threshold between leaf volume (~1e-4) and root volume so the cut
+        # lands mid-tree and real SPTs form below it
+        forest = post_mod.rebuild_spt(
+            state, post=PostConfig(spt_root_volume=1e-1, min_spt_size=4))
+        assert forest.n_spts > 0 and forest.entry_gid.shape[0] > 0
+
+    dummy = jnp.zeros((state.capacity,))
+    # far camera: fine detail unreachable -> many entries flagged
+    far = spt_mod.mip_respawn_mask(forest, dummy,
+                                   jnp.asarray([[0.0, 0.0, -100.0]]))
+    # camera at the scene: everything reachable -> nothing flagged
+    near = spt_mod.mip_respawn_mask(forest, dummy,
+                                    jnp.asarray([[0.0, 0.0, 5.0]]))
+    assert int(far.sum()) > int(near.sum())
+    assert int(near.sum()) == 0
