@@ -48,16 +48,29 @@ def cmd_eval(args):
     from hlod_gaussians_tpu.ops.lpips import make_lpips
     from hlod_gaussians_tpu.train import post as post_mod
 
-    d = dhier_io.load_dhier(args.hierarchy)
-    cap = 1 << (int(np.ceil(np.log2(d.pos.shape[0] + 1))))
-    state = post_mod.create_from_dhier(d, capacity=cap)
+    boxes = None
+    if args.hierarchy.endswith(".hier"):
+        # upstream box-metric hierarchy: cut on projected box size
+        # (render_hierarchy.py protocol)
+        from hlod_gaussians_tpu.hierarchy import boxes as boxes_mod
+        up = dhier_io.load_hier(args.hierarchy)
+        d, nb = boxes_mod.upstream_to_fork(up)
+        cap = 1 << (int(np.ceil(np.log2(d.pos.shape[0] + 1))))
+        state = post_mod.create_from_dhier(d, capacity=cap)
+        pad = lambda a: np.concatenate(
+            [a, np.zeros((cap - a.shape[0],) + a.shape[1:], a.dtype)])
+        boxes = (pad(nb.lo), pad(nb.hi), pad(nb.max_side))
+    else:
+        d = dhier_io.load_dhier(args.hierarchy)
+        cap = 1 << (int(np.ceil(np.log2(d.pos.shape[0] + 1))))
+        state = post_mod.create_from_dhier(d, capacity=cap)
     scene = load_colmap_scene(args.source_path, images_dir=args.images,
                               eval_split=True)
     cams = [load_view(ci) for ci in scene.test_cameras[:args.max_views]]
     gts = [np.asarray(c.image) for c in cams]
     levels = [float(x) for x in args.levels.split(",")]
     results = eval_mod.eval_views(
-        state, cams, gts, levels, level_is_tau=args.tau,
+        state, cams, gts, levels, level_is_tau=args.tau, boxes=boxes,
         cfg=RasterizerConfig(backend=args.backend, tile_w=16, tile_h=8),
         lpips_fn=make_lpips(args.lpips_weights))
     for r in results:

@@ -382,3 +382,41 @@ def run_pipeline(
     if output_dir:
         dhier_io.save_dhier(os.path.join(output_dir, "merged.dhier"), merged)
     return merged
+
+
+def run_pipeline_no_chunks(
+    scene: SceneInfo,
+    view_loader: Callable[[object], "Camera"] = None,
+    output_dir: str = "",
+    *,
+    pcfg: PipelineConfig = PipelineConfig(),
+    opt: OptimizationConfig = OptimizationConfig(),
+    post: PostConfig = PostConfig(),
+    cfg: RasterizerConfig = RasterizerConfig(),
+    logger: Optional[MetricsLogger] = None,
+) -> dhier_io.DHier:
+    """Single-scene variant without chunking (reference train_no_chunks.py:
+    98-265): coarse scaffold over every view -> hierarchy built directly on
+    the scaffold -> in-process post-optimization. No merge step (one root).
+    """
+    if view_loader is None:
+        view_loader = load_view
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    views_all = [view_loader(ci) for ci in scene.train_cameras]
+
+    ts_coarse = train_coarse_scaffold(
+        views_all, scene.points, scene.colors, scene.extent,
+        pcfg.coarse_iters, pcfg.coarse_capacity, opt=opt, cfg=cfg,
+        pcfg=pcfg, skybox_num=pcfg.skybox_num, logger=logger)
+
+    d = state_to_hierarchy(ts_coarse)
+    ts_post = post_optimize(
+        d, views_all, scene.extent, pcfg.post_iters, pcfg.chunk_capacity,
+        opt=opt, post=post, cfg=cfg, pcfg=pcfg,
+        skybox_num=pcfg.skybox_num, logger=logger)
+    out = post_mod.state_to_dhier(ts_post.gaussians)
+    if output_dir:
+        dhier_io.save_dhier(os.path.join(output_dir, "hierarchy.dhier_opt"),
+                            out)
+    return out

@@ -200,3 +200,32 @@ def test_pipeline_with_scaffold_and_resume(tmp_path):
     for f, t in mtimes.items():
         assert os.path.getmtime(f) == t, f"chunk re-trained: {f}"
     assert merged2.pos.shape[0] > 0
+
+
+def test_pipeline_no_chunks(tmp_path):
+    """Single-scene pipeline without chunking (train_no_chunks.py:98-265):
+    coarse -> hierarchy on the scaffold -> post, no merge."""
+    from tests.test_full_pipeline import synthetic_views
+
+    pts, cols, views = synthetic_views(n_views=2, n_pts=32)
+    from hlod_gaussians_tpu.data.scene import SceneInfo
+
+    class FakeInfo:
+        def __init__(self, v):
+            self.v = v
+            self.R = np.eye(3)
+            self.T = -np.asarray(v.campos)
+
+    scene = SceneInfo(points=pts, colors=cols,
+                      train_cameras=[FakeInfo(v) for v in views],
+                      test_cameras=[], extent=5.0,
+                      center=np.zeros(3, np.float32))
+    pcfg = full_train.PipelineConfig(
+        coarse_iters=6, post_iters=4, skybox_num=4,
+        coarse_capacity=128, chunk_capacity=512, k_max=256, mh_walk=False,
+        post_densify_interval=1000)
+    out = full_train.run_pipeline_no_chunks(
+        scene, view_loader=lambda ci: ci.v, output_dir=str(tmp_path / "nc"),
+        pcfg=pcfg, opt=OptimizationConfig(iterations=20), cfg=CFG)
+    assert out.pos.shape[0] > 0
+    assert os.path.exists(str(tmp_path / "nc" / "hierarchy.dhier_opt"))
