@@ -111,7 +111,10 @@ def render_arrays(
             abins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
             ts if use_lod else None, kids if use_lod else None,
             width=width, height=height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            t_eps=cfg.t_eps, alpha_min=cfg.alpha_min, want_seen=want_seen)
+            t_eps=cfg.t_eps, alpha_min=cfg.alpha_min, want_seen=want_seen,
+            # Mosaic kernels only exist for TPU; CPU (tests, golden
+            # fixtures) runs them in interpret mode
+            interpret=jax.default_backend() == "cpu")
     else:
         out = rasterize_scan(
             bins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,

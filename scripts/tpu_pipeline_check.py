@@ -1,0 +1,108 @@
+"""End-to-end pipeline validation on the real TPU: synthetic 2-chunk scene
+through coarse -> scaffold-conditioned chunks -> hierarchy -> post ->
+merge -> LOD eval. Records per-stage wall-clock + final PSNR."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hlod_gaussians_tpu import eval as eval_mod, render as render_mod
+    from hlod_gaussians_tpu.config import (OptimizationConfig, PostConfig,
+                                           RasterizerConfig)
+    from hlod_gaussians_tpu.data.scene import SceneInfo
+    from hlod_gaussians_tpu.models import gaussians as gm
+    from hlod_gaussians_tpu.pipeline import full_train
+    from hlod_gaussians_tpu.train import post as post_mod
+    from hlod_gaussians_tpu.utils.camera import make_camera
+
+    W = H = 256
+    CFG = RasterizerConfig(backend="pallas", tile_w=16, tile_h=16,
+                           max_dup=1 << 16, tight_binning=True)
+
+    # ground-truth scene: two spatial clusters of colored Gaussians
+    rng = np.random.default_rng(3)
+    n = 600
+    pts = np.concatenate([
+        rng.normal(size=(n // 2, 3)).astype(np.float32) * 0.6
+        + [-1.2, 0, 5.0],
+        rng.normal(size=(n // 2, 3)).astype(np.float32) * 0.6
+        + [1.2, 0, 5.0]])
+    cols = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    gt_state = gm.create_from_points(pts, cols, capacity=1024, sh_degree=1,
+                                     opacity_init=0.8)
+    act = gm.activate(gt_state)
+
+    views = []
+    for k in range(6):
+        ang = 0.12 * (k - 2.5)
+        R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]])
+        cam = make_camera(R, np.zeros(3), 1.0, 1.0, W, H, exposure_idx=k)
+        out = render_mod.render_arrays(
+            act.means3d, act.scales, act.quats, act.opacities, act.shs,
+            act.valid, cam.world_view, cam.full_proj, cam.campos,
+            cam.tan_fovx, cam.tan_fovy, jnp.zeros(3),
+            sh_degree=1, width=W, height=H, cfg=CFG, k_max=512)
+        views.append(dataclasses.replace(cam, image=out.image))
+
+    class FakeInfo:
+        def __init__(self, v):
+            self.v = v
+            self.R = np.eye(3)
+            self.T = -np.asarray(v.campos)
+
+    scene = SceneInfo(points=pts, colors=cols,
+                      train_cameras=[FakeInfo(v) for v in views],
+                      test_cameras=[], extent=5.0,
+                      center=np.zeros(3, np.float32))
+
+    pcfg = full_train.PipelineConfig(
+        coarse_iters=150, chunk_iters=400, post_iters=150, skybox_num=32,
+        coarse_capacity=2048, chunk_capacity=4096, k_max=512, mh_walk=True,
+        densification_interval=100, densify_from_iter=20,
+        opacity_reset_interval=10_000, post_densify_interval=10_000,
+        chunk_size=2.0)
+    opt = OptimizationConfig(iterations=400, densify_until_iter=300,
+                             densify_grad_threshold=1e8)
+    post = PostConfig(spt_root_volume=1e-4, min_spt_size=8,
+                      lambda_opacity=0.0)
+
+    t0 = time.perf_counter()
+    merged = full_train.run_pipeline(
+        scene, view_loader=lambda ci: ci.v, output_dir="/tmp/tpu_pipe",
+        pcfg=pcfg, opt=opt, post=post, cfg=CFG)
+    t_total = time.perf_counter() - t0
+    print(f"pipeline total: {t_total:.0f}s, merged nodes {merged.nodes.shape[0]}",
+          flush=True)
+
+    cap = 1 << int(np.ceil(np.log2(merged.pos.shape[0] + 1)))
+    st = post_mod.create_from_dhier(merged, capacity=cap)
+    results = eval_mod.eval_views(
+        st, views, [np.asarray(v.image) for v in views],
+        levels=[1e-9, 0.01], budget=min(cap, 1 << 13), cfg=CFG, k_max=512,
+        warn=lambda *a, **k: None)
+    for r in results:
+        print(f"level {r.level}: PSNR {r.psnr:.2f} SSIM {r.ssim:.3f} "
+              f"rendered {r.mean_rendered:.0f}", flush=True)
+    assert results[0].psnr > 20.0, "pipeline PSNR regression"
+    print("TPU PIPELINE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
