@@ -170,7 +170,7 @@ def _forward_kernel(starts_ref, counts_ref,
         dma(0, 0).start()
 
     def body(c, carry):
-        logT, acc0, acc1, acc2, acc3, n_contrib = carry
+        logT, acc4, n_contrib = carry
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -187,7 +187,7 @@ def _forward_kernel(starts_ref, counts_ref,
         saturated = jnp.max(jnp.where(inside, logT, _LOG_EPS)) < jnp.log(t_eps)
 
         def process(args):
-            logT, acc0, acc1, acc2, acc3, n_contrib = args
+            logT, acc4, n_contrib = args
             chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
             alpha, pre, aux = _chunk_alpha(
                 chunk, pxf, pyf, count, c * CHUNK,
@@ -202,11 +202,11 @@ def _forward_kernel(starts_ref, counts_ref,
             apply = (alpha > 0.0) & (log_incl >= jnp.log(t_eps))
 
             w = jnp.where(apply, alpha * jnp.exp(log_before), 0.0)
-            col = lambda i: chunk[:, i:i + 1]
-            acc0 += jnp.sum(w * col(_ER), axis=0, keepdims=True)
-            acc1 += jnp.sum(w * col(_EG), axis=0, keepdims=True)
-            acc2 += jnp.sum(w * col(_EB), axis=0, keepdims=True)
-            acc3 += jnp.sum(w * col(_EID), axis=0, keepdims=True)
+            # all 4 channel accumulations in ONE [4, CHUNK] @ [CHUNK, pix]
+            # matmul; the [4, CHUNK] color rows come straight from the
+            # untransposed DMA buffer
+            c4 = chunk_vmem[slot][_ER:_EID + 1]             # [4, CHUNK]
+            acc4 += _mm(c4, w)
 
             lg_applied = jnp.where(apply, lg, 0.0)
             logT = logT + jnp.sum(lg_applied, axis=0, keepdims=True)
@@ -218,7 +218,7 @@ def _forward_kernel(starts_ref, counts_ref,
             if want_seen:
                 flag = jnp.max(jnp.where(apply, 1.0, 0.0), axis=1)  # [CHUNK]
                 seen_vmem[slot, 0] = flag
-            return logT, acc0, acc1, acc2, acc3, n_contrib
+            return logT, acc4, n_contrib
 
         def skip(args):
             if want_seen:
@@ -226,15 +226,15 @@ def _forward_kernel(starts_ref, counts_ref,
             return args
 
         out = jax.lax.cond(saturated, skip, process,
-                           (logT, acc0, acc1, acc2, acc3, n_contrib))
+                           (logT, acc4, n_contrib))
         if want_seen:
             seen_dma(slot, c).start()
         return out
 
     pix_z = jnp.zeros((1, pix), jnp.float32)
-    init = (pix_z, pix_z, pix_z, pix_z, pix_z,
+    init = (pix_z, jnp.zeros((4, pix), jnp.float32),
             jnp.zeros((1, pix), jnp.int32))
-    logT, acc0, acc1, acc2, acc3, n_contrib = jax.lax.fori_loop(
+    logT, acc4, n_contrib = jax.lax.fori_loop(
         0, n_chunks, body, init)
 
     if want_seen:
@@ -246,10 +246,7 @@ def _forward_kernel(starts_ref, counts_ref,
         def _():
             seen_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
 
-    img_ref[0, 0] = acc0[0]
-    img_ref[0, 1] = acc1[0]
-    img_ref[0, 2] = acc2[0]
-    img_ref[0, 3] = acc3[0]
+    img_ref[0] = acc4
     ft_ref[0] = jnp.exp(logT)
     nc_ref[0] = n_contrib
 
@@ -447,18 +444,26 @@ def _backward_kernel(starts_ref, counts_ref,
 
         dmy = dal * aux["dalpha_dmy"]
         not_clipped = aux["opG"] < 0.99
-        dop_px = jnp.where(not_clipped, aux["G"] * dmy, 0.0)
         dpower = jnp.where(not_clipped, aux["opG"] * dmy, 0.0)
 
+        # Factored spatial reductions: with u = dx*dpower, v = dy*dpower,
+        # every conic/mean gradient is a sum of {u, v, dx*u, dy*u, dy*v}
+        # — 5 products + 6 lane reductions instead of the naive 13 + 7
+        # (backward.cu:640-676 computes these per-pixel serially).
         dx, dy = aux["dx"], aux["dy"]
-        dop = jnp.sum(dop_px, axis=1, keepdims=True)
-        dcxx = jnp.sum(-0.5 * dx * dx * dpower, axis=1, keepdims=True)
-        dcxy = jnp.sum(-dx * dy * dpower, axis=1, keepdims=True)
-        dcyy = jnp.sum(-0.5 * dy * dy * dpower, axis=1, keepdims=True)
-        dgx = jnp.sum(-(aux["cxx"] * dx + aux["cxy"] * dy) * dpower,
-                      axis=1, keepdims=True)
-        dgy = jnp.sum(-(aux["cyy"] * dy + aux["cxy"] * dx) * dpower,
-                      axis=1, keepdims=True)
+        u = dx * dpower
+        v = dy * dpower
+        su = jnp.sum(u, axis=1, keepdims=True)
+        sv = jnp.sum(v, axis=1, keepdims=True)
+        s0 = jnp.sum(dpower, axis=1, keepdims=True)
+        # dop: dpower = op * G * dmy and dop_px = G * dmy share the clip
+        # mask, so dop = s0 / op exactly (safe where op == 0 -> s0 == 0)
+        dop = s0 / jnp.maximum(col(_EOP), 1e-30)
+        dcxx = -0.5 * jnp.sum(dx * u, axis=1, keepdims=True)
+        dcxy = -jnp.sum(dy * u, axis=1, keepdims=True)
+        dcyy = -0.5 * jnp.sum(dy * v, axis=1, keepdims=True)
+        dgx = -(aux["cxx"] * su + aux["cxy"] * sv)
+        dgy = -(aux["cyy"] * sv + aux["cxy"] * su)
 
         zeros = jnp.zeros((CHUNK, N_GRAD_COLS - 10), jnp.float32)
         g16 = jnp.concatenate(

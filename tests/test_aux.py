@@ -4,6 +4,7 @@ protocol round-trip."""
 import json
 import socket
 import threading
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -114,10 +115,12 @@ def test_viewer_server_roundtrip():
     t = threading.Thread(target=client)
     t.start()
     served = None
-    for _ in range(200):
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
         served = srv.poll_once(render_fn)
         if served is not None:
             break
+        time.sleep(0.005)
     t.join(timeout=5)
     srv.close()
     assert served is not None
