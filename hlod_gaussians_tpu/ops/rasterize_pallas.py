@@ -96,11 +96,13 @@ def _mm(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod):
+def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod,
+                 inside=None):
     """Shared forward math: per-(entry, pixel) effective alpha + masks.
 
     chunk: [CHUNK, N_ENTRY_COLS]; returns (alpha [CHUNK, pix] pre-masked,
-    pre mask, aux dict for backward reuse).
+    pre mask, aux dict for backward reuse). `inside` ([1, pix] bool) is
+    folded into the mask (cheaper than a float multiply afterwards).
     """
     col = lambda i: chunk[:, i:i + 1]                        # [CHUNK,1]
     gx, gy = col(_EX), col(_EY)
@@ -123,10 +125,12 @@ def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod):
             1.0 - my_alpha, 1e-12)
     else:
         alpha = my_alpha
-        dalpha_dmy = jnp.ones_like(my_alpha)
+        dalpha_dmy = None                 # identity chain when not LOD
 
     k = base_k + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     pre = (power <= 0.0) & (alpha >= alpha_min) & (k < count)
+    if inside is not None:
+        pre = pre & inside
     aux = dict(dx=dx, dy=dy, G=G, opG=opG, power=power, k=k,
                dalpha_dmy=dalpha_dmy, cxx=cxx, cxy=cxy, cyy=cyy)
     return jnp.where(pre, alpha, 0.0), pre, aux
@@ -137,10 +141,33 @@ def _forward_kernel(starts_ref, counts_ref,
                     img_ref, ft_ref, nc_ref,          # VMEM out blocks
                     seen_hbm,                         # [1, cap] HBM out | None
                     chunk_vmem, sem, seen_vmem, seen_sem,
-                    *, gw: int, tile_h: int, tile_w: int, width: int,
-                    height: int, t_eps: float, alpha_min: float,
+                    *, tpb: int, gw: int, tile_h: int, tile_w: int,
+                    width: int, height: int, t_eps: float, alpha_min: float,
                     use_lod: bool, want_seen: bool):
-    t = pl.program_id(0)
+    # `tpb` tiles are processed per grid program: Pallas TPU grid steps run
+    # sequentially with a ~2-4us fixed cost each (block DMAs + bookkeeping);
+    # batching tiles amortizes that overhead across the whole 1080p grid.
+    # program_id must stay at kernel top level (the CPU interpreter does not
+    # substitute it inside fori_loop body jaxprs).
+    base = pl.program_id(0) * tpb
+
+    def one_tile(j, _):
+        _forward_tile(base + j, j, starts_ref, counts_ref, entries_hbm,
+                      img_ref, ft_ref, nc_ref, seen_hbm, chunk_vmem, sem,
+                      seen_vmem, seen_sem, gw=gw, tile_h=tile_h,
+                      tile_w=tile_w, width=width, height=height, t_eps=t_eps,
+                      alpha_min=alpha_min, use_lod=use_lod,
+                      want_seen=want_seen)
+        return _
+
+    jax.lax.fori_loop(0, tpb, one_tile, 0)
+
+
+def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
+                  nc_ref, seen_hbm, chunk_vmem, sem, seen_vmem, seen_sem,
+                  *, gw: int, tile_h: int, tile_w: int,
+                  width: int, height: int, t_eps: float, alpha_min: float,
+                  use_lod: bool, want_seen: bool):
     start = starts_ref[t]
     count = counts_ref[t]
     pix = tile_h * tile_w
@@ -191,15 +218,15 @@ def _forward_kernel(starts_ref, counts_ref,
             chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
             alpha, pre, aux = _chunk_alpha(
                 chunk, pxf, pyf, count, c * CHUNK,
-                alpha_min=alpha_min, use_lod=use_lod)
-            alpha = alpha * inside.astype(jnp.float32)
+                alpha_min=alpha_min, use_lod=use_lod, inside=inside)
 
             lg = jnp.log1p(-alpha)                          # 0 where masked
             cum_ex = _mm(tril, lg)                          # exclusive prefix
             log_before = logT + cum_ex                      # [CHUNK, pix]
             log_incl = log_before + lg
             # applied iff the inclusive product stays above t_eps
-            apply = (alpha > 0.0) & (log_incl >= jnp.log(t_eps))
+            # (pre => alpha >= alpha_min > 0)
+            apply = pre & (log_incl >= jnp.log(t_eps))
 
             w = jnp.where(apply, alpha * jnp.exp(log_before), 0.0)
             # all 4 channel accumulations in ONE [4, CHUNK] @ [CHUNK, pix]
@@ -246,44 +273,58 @@ def _forward_kernel(starts_ref, counts_ref,
         def _():
             seen_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
 
-    img_ref[0] = acc4
-    ft_ref[0] = jnp.exp(logT)
-    nc_ref[0] = n_contrib
+    img_ref[j] = acc4
+    ft_ref[j] = jnp.exp(logT)
+    nc_ref[j] = n_contrib
+
+
+def _pad_tiles(tile_starts, tile_counts, num_tiles: int, tpb: int):
+    """Pad the per-tile range tables to a multiple of tpb (count 0 => the
+    padded tiles do no work and write default outputs)."""
+    t_pad = -(-num_tiles // tpb) * tpb
+    if t_pad != num_tiles:
+        z = jnp.zeros((t_pad - num_tiles,), jnp.int32)
+        tile_starts = jnp.concatenate([tile_starts, z])
+        tile_counts = jnp.concatenate([tile_counts, z])
+    return tile_starts, tile_counts, t_pad
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
-                     "t_eps", "alpha_min", "use_lod", "want_seen",
+                     "t_eps", "alpha_min", "use_lod", "want_seen", "tpb",
                      "interpret"))
 def blend_forward(entry_data, tile_starts, tile_counts, *,
                   num_tiles: int, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float = 1e-4,
                   alpha_min: float = 1.0 / 255.0,
                   use_lod: bool = False, want_seen: bool = False,
+                  tpb: int = 4,
                   interpret: bool = False):
     """entry_data [16, cap] (CHUNK-aligned tile ranges) ->
     (img4 [T, 4, pix], final_t [T, 1, pix], n_contrib [T, 1, pix][, seen_e])."""
     pix = tile_h * tile_w
     assert pix % 128 == 0, (tile_h, tile_w)
     assert entry_data.shape[1] % CHUNK == 0
+    tile_starts, tile_counts, t_pad = _pad_tiles(
+        tile_starts, tile_counts, num_tiles, tpb)
     kernel = functools.partial(
-        _forward_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
-        height=height, t_eps=t_eps, alpha_min=alpha_min, use_lod=use_lod,
-        want_seen=want_seen)
+        _forward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
+        width=width, height=height, t_eps=t_eps, alpha_min=alpha_min,
+        use_lod=use_lod, want_seen=want_seen)
 
     out_specs = [
-        pl.BlockSpec((1, 4, pix), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((tpb, 4, pix), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((tpb, 1, pix), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((tpb, 1, pix), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((num_tiles, 4, pix), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, 1, pix), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, 1, pix), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad, 4, pix), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, 1, pix), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, 1, pix), jnp.int32),
     ]
     if want_seen:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
@@ -295,7 +336,7 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(t_pad // tpb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs[:3]) + ((out_specs[3],)
                                           if want_seen else ()),
@@ -317,7 +358,7 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(tile_starts, tile_counts, entry_data)
-        return outs
+        return tuple(o[:num_tiles] for o in outs[:3]) + (outs[3],)
     else:
         def kern(s_ref, c_ref, e_hbm, img, ft, nc, *scratch):
             kernel(s_ref, c_ref, e_hbm, img, ft, nc, None, *scratch)
@@ -327,7 +368,8 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
             grid_spec=grid_spec,
             interpret=interpret,
         )(tile_starts, tile_counts, entry_data)
-        return img4, final_t, n_contrib, None
+        return (img4[:num_tiles], final_t[:num_tiles],
+                n_contrib[:num_tiles], None)
 
 
 def _backward_kernel(starts_ref, counts_ref,
@@ -335,9 +377,31 @@ def _backward_kernel(starts_ref, counts_ref,
                      ft_ref, nc_ref, gimg_ref, gft_ref,
                      egrad_hbm,
                      chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
-                     *, gw: int, tile_h: int, tile_w: int, width: int,
-                     height: int, alpha_min: float, use_lod: bool):
-    t = pl.program_id(0)
+                     *, tpb: int, gw: int, tile_h: int, tile_w: int,
+                     width: int, height: int, alpha_min: float,
+                     use_lod: bool):
+    # See _forward_kernel: tpb tiles per grid program amortize the fixed
+    # per-program cost over the ~2k-tile 1080p grid.
+    base = pl.program_id(0) * tpb
+
+    def one_tile(j, _):
+        _backward_tile(base + j, j, starts_ref, counts_ref, entries_hbm,
+                       ft_ref, nc_ref, gimg_ref, gft_ref, egrad_hbm,
+                       chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
+                       gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
+                       height=height, alpha_min=alpha_min, use_lod=use_lod)
+        return _
+
+    jax.lax.fori_loop(0, tpb, one_tile, 0)
+
+
+def _backward_tile(t, j, starts_ref, counts_ref,
+                   entries_hbm,
+                   ft_ref, nc_ref, gimg_ref, gft_ref,
+                   egrad_hbm,
+                   chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
+                   *, gw: int, tile_h: int, tile_w: int,
+                   width: int, height: int, alpha_min: float, use_lod: bool):
     start = starts_ref[t]
     count = counts_ref[t]
     pix = tile_h * tile_w
@@ -347,13 +411,14 @@ def _backward_kernel(starts_ref, counts_ref,
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
 
-    final_t = ft_ref[0]                   # [1, pix]
-    n_contrib = nc_ref[0]
-    g0 = gimg_ref[0, 0:1]
-    g1 = gimg_ref[0, 1:2]
-    g2 = gimg_ref[0, 2:3]
-    g3 = gimg_ref[0, 3:4]
-    dT_total = gft_ref[0]
+    final_t = ft_ref[j]                   # [1, pix]
+    n_contrib = nc_ref[j]
+    g0 = gimg_ref[j, 0:1]
+    g1 = gimg_ref[j, 1:2]
+    g2 = gimg_ref[j, 2:3]
+    g3 = gimg_ref[j, 3:4]
+    dT_total = gft_ref[j]
+    dTf = dT_total * final_t              # [1, pix] loop-invariant
 
     n_chunks = pl.cdiv(count, CHUNK)
     # entries beyond the last applied one have identically-zero gradients;
@@ -404,10 +469,9 @@ def _backward_kernel(starts_ref, counts_ref,
         chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
         alpha, pre, aux = _chunk_alpha(
             chunk, pxf, pyf, count, c * CHUNK,
-            alpha_min=alpha_min, use_lod=use_lod)
-        alpha = alpha * inside.astype(jnp.float32)
+            alpha_min=alpha_min, use_lod=use_lod, inside=inside)
 
-        applied = (alpha > 0.0) & (aux["k"] + 1 <= n_contrib)
+        applied = pre & (aux["k"] + 1 <= n_contrib)
         a = jnp.where(applied, alpha, 0.0)
         one_m = 1.0 - a
         lg = jnp.log1p(-a)
@@ -421,7 +485,8 @@ def _backward_kernel(starts_ref, counts_ref,
         col = lambda i: chunk[:, i:i + 1]
         cr, cg, cb, cd = col(_ER), col(_EG), col(_EB), col(_EID)
 
-        # per-entry color grads (reduce over lanes)
+        # per-entry color grads (reduce over lanes; measured FASTER on the
+        # VPU than the equivalent [CHUNK,pix]x[pix,4] MXU contraction)
         dcr = jnp.sum(contrib * g0, axis=1, keepdims=True)
         dcg = jnp.sum(contrib * g1, axis=1, keepdims=True)
         dcb = jnp.sum(contrib * g2, axis=1, keepdims=True)
@@ -437,12 +502,12 @@ def _backward_kernel(starts_ref, counts_ref,
         pcg = contrib * cdotg
         suf_comb = _mm(usq, pcg) + s_comb
 
-        dal = cdotg * t_before
-        dal = dal - suf_comb / one_m
-        dal = dal - dT_total * final_t / one_m
+        # one shared division: (suffix + dT*final_t) / (1-a); dT*final_t is
+        # loop-invariant (hoisted to dTf outside the chunk walk)
+        dal = cdotg * t_before - (suf_comb + dTf) / one_m
         dal = jnp.where(applied, dal, 0.0)
 
-        dmy = dal * aux["dalpha_dmy"]
+        dmy = dal * aux["dalpha_dmy"] if use_lod else dal
         not_clipped = aux["opG"] < 0.99
         dpower = jnp.where(not_clipped, aux["opG"] * dmy, 0.0)
 
@@ -507,31 +572,41 @@ def _backward_kernel(starts_ref, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
-                     "alpha_min", "use_lod", "interpret"))
+                     "alpha_min", "use_lod", "tpb", "interpret"))
 def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
                    g_img4, g_final_t, *,
                    num_tiles: int, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float = 1.0 / 255.0,
-                   use_lod: bool = False, interpret: bool = False):
+                   use_lod: bool = False, tpb: int = 4,
+                   interpret: bool = False):
     """Hand-derived backward -> per-entry gradients [16, cap]."""
     pix = tile_h * tile_w
     assert pix % 128 == 0
+    tile_starts, tile_counts, t_pad = _pad_tiles(
+        tile_starts, tile_counts, num_tiles, tpb)
+    if t_pad != num_tiles:
+        pad_rows = lambda x: jnp.concatenate(
+            [x, jnp.zeros((t_pad - num_tiles,) + x.shape[1:], x.dtype)])
+        final_t = pad_rows(final_t)
+        n_contrib = pad_rows(n_contrib)
+        g_img4 = pad_rows(g_img4)
+        g_final_t = pad_rows(g_final_t)
     kernel = functools.partial(
-        _backward_kernel, gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
-        height=height, alpha_min=alpha_min, use_lod=use_lod)
+        _backward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
+        width=width, height=height, alpha_min=alpha_min, use_lod=use_lod)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(t_pad // tpb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tpb, 1, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tpb, 1, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, pix), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tpb, 4, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, pix), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tpb, 1, pix), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
