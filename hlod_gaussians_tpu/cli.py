@@ -118,6 +118,9 @@ def cmd_viewer(args):
                                            np.asarray(state.alive)))
     ctrl = maint.BudgetController(budget=budget)
     max_scale = jnp.max(act.scales, axis=-1)
+    # static tree per session: one parent gather, gather-free per-frame cuts
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+    pcache = cut_mod.build_parent_cache(state.nodes, act.means3d, max_scale)
 
     # viewer slider state (reference hierarchy_viewer.py:220-247)
     frozen_vp = [None]
@@ -175,7 +178,7 @@ def cmd_viewer(args):
             jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
             jnp.asarray(cam.campos.astype(np.float32)),
             jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
-            jnp.zeros(3), max(target, 1e-9), None, active,
+            jnp.zeros(3), max(target, 1e-9), None, active, pcache,
             sh_degree=state.sh_degree, width=bw, height=bh,
             budget=budget, n_skybox=state.n_skybox, cfg=cfg)
         img = np.asarray(jnp.clip(out.image, 0, 1))

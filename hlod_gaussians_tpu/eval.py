@@ -70,6 +70,13 @@ def eval_views(
     if boxes is not None:
         boxes = tuple(jnp.asarray(np.asarray(b, np.float32)) for b in boxes)
     act = gm.activate(state)
+    # one parent gather for the whole sweep: per-frame cuts are gather-free
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+    if boxes is not None:
+        pcache = cut_mod.build_parent_cache_box(state.nodes, *boxes)
+    else:
+        pcache = cut_mod.build_parent_cache(
+            state.nodes, act.means3d, jnp.max(act.scales.T, axis=0))
     out: List[EvalResult] = []
     for level in levels:
         psnr_sum = ssim_sum = lpips_sum = n_sum = 0.0
@@ -84,7 +91,7 @@ def eval_views(
                 state.nodes, state.alive,
                 cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
                 cam.tan_fovy, jnp.asarray(np.asarray(bg, np.float32)),
-                max(target, 1e-12), boxes,
+                max(target, 1e-12), boxes, None, pcache,
                 sh_degree=state.sh_degree, width=cam.width, height=cam.height,
                 budget=budget, n_skybox=state.n_skybox, cfg=cfg, k_max=k_max)
             img = jnp.clip(res.image, 0.0, 1.0)

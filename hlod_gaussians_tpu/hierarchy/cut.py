@@ -33,16 +33,24 @@ from hlod_gaussians_tpu.models.gaussians import (
 
 def node_size_dynamic(pos, max_scale, viewpoint):
     """Projected size metric (computeSizeGPUDynamic,
-    runtime_switching.cu:222-233): max(scale) / ||viewpoint - pos||."""
-    dist = jnp.linalg.norm(viewpoint - pos, axis=-1)
+    runtime_switching.cu:222-233): max(scale) / ||viewpoint - pos||.
+
+    Computed in transposed [3, C] layout: elementwise math on [C, 3] uses 3
+    of 128 vector lanes (~40x waste at 1M nodes); with C on the lane axis
+    the norm is a 3-sublane reduce over full-width ops.
+    """
+    d = viewpoint[:, None] - pos.T                    # [3, C]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=0))           # [C]
     return max_scale / jnp.maximum(dist, 1e-12)
 
 
 def node_size_box(box_lo, box_hi, max_side, viewpoint):
     """Upstream box metric (computeSizeGPU, runtime_switching.cu:210-219):
-    max_side / distance(viewpoint, box); +inf when inside the box."""
-    closest = jnp.clip(viewpoint, box_lo, box_hi)
-    dist = jnp.linalg.norm(viewpoint - closest, axis=-1)
+    max_side / distance(viewpoint, box); +inf when inside the box.
+    Transposed-layout math (see node_size_dynamic)."""
+    closest = jnp.clip(viewpoint[:, None], box_lo.T, box_hi.T)   # [3, C]
+    d = viewpoint[:, None] - closest
+    dist = jnp.sqrt(jnp.sum(d * d, axis=0))
     inside = dist <= 0.0
     return jnp.where(inside, jnp.inf, max_side / jnp.maximum(dist, 1e-12))
 
@@ -50,11 +58,12 @@ def node_size_box(box_lo, box_hi, max_side, viewpoint):
 def in_frustum_crude(pos, viewpoint, zdir):
     """Crude frustum test (is_in_frustum, runtime_switching.cu:165-187):
     keep the node when the cosine between normalize(viewpoint - pos) and the
-    camera forward axis is < -0.5 (i.e. the point is roughly in front)."""
-    diff = viewpoint - pos
-    norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
-    ndiff = diff / jnp.maximum(norm, 1e-12)
-    cos_angle = jnp.sum(ndiff * zdir, axis=-1)
+    camera forward axis is < -0.5 (i.e. the point is roughly in front).
+    Transposed-layout math (see node_size_dynamic)."""
+    diff = viewpoint[:, None] - pos.T                 # [3, C]
+    norm = jnp.sqrt(jnp.sum(diff * diff, axis=0))     # [C]
+    cos_angle = jnp.sum(diff * zdir[:, None], axis=0) / jnp.maximum(
+        norm, 1e-12)
     return cos_angle < -0.5
 
 
@@ -89,6 +98,49 @@ class CutResult(NamedTuple):
     kids: jnp.ndarray          # [C] int32 number of siblings
 
 
+class ParentCache(NamedTuple):
+    """Per-node copies of the parent's cut inputs, built ONCE per tree
+    update. The per-frame cut then needs NO gather at all: the parent's
+    projected size is recomputed from the cached parent position/scale
+    (viewpoint-dependent but gather-free). A [2, C] parent gather costs
+    ~25 ms at 1M nodes — the whole point of this cache.
+
+    For the dynamic metric: p_aux = (p_pos [C,3], p_scale [C]).
+    For the box metric:     p_aux = (p_lo [C,3], p_hi [C,3], p_side [C]).
+    """
+    p_aux: tuple
+    p_kids: jnp.ndarray        # [C] int32 parent child count
+
+
+@jax.jit
+def build_parent_cache(nodes, pos, max_scale) -> ParentCache:
+    """Dynamic-metric parent cache (one stacked gather, amortized over all
+    frames until the tree changes)."""
+    c = nodes.shape[0]
+    parent_c = jnp.clip(nodes[:, NODE_PARENT], 0, c - 1)
+    from hlod_gaussians_tpu.ops import gather_rows
+    px, py, pz, ps, pk = gather_rows(
+        [pos[:, 0], pos[:, 1], pos[:, 2], max_scale,
+         nodes[:, NODE_CHILD_COUNT]], parent_c)
+    return ParentCache(p_aux=(jnp.stack([px, py, pz], axis=1), ps),
+                       p_kids=pk)
+
+
+@jax.jit
+def build_parent_cache_box(nodes, box_lo, box_hi, max_side) -> ParentCache:
+    """Box-metric parent cache."""
+    c = nodes.shape[0]
+    parent_c = jnp.clip(nodes[:, NODE_PARENT], 0, c - 1)
+    from hlod_gaussians_tpu.ops import gather_rows
+    cols = [box_lo[:, 0], box_lo[:, 1], box_lo[:, 2],
+            box_hi[:, 0], box_hi[:, 1], box_hi[:, 2],
+            max_side, nodes[:, NODE_CHILD_COUNT]]
+    g = gather_rows(cols, parent_c)
+    return ParentCache(
+        p_aux=(jnp.stack(g[0:3], axis=1), jnp.stack(g[3:6], axis=1), g[6]),
+        p_kids=g[7])
+
+
 @functools.partial(jax.jit, static_argnames=("use_frustum",))
 def expand_to_size_dynamic(
     nodes: jnp.ndarray,       # [C,6] int32
@@ -98,12 +150,14 @@ def expand_to_size_dynamic(
     viewpoint: jnp.ndarray,   # [3]
     zdir: jnp.ndarray,        # [3] camera forward (world space)
     target_size,
+    pcache: Optional[ParentCache] = None,
     *,
     use_frustum: bool = True,
 ) -> CutResult:
     """Dynamic hierarchy cut + interpolation weights in one pass
     (markNodesForSizeDynamic runtime_switching.cu:533-582 +
-    computeTsIndexedDynamic :640-684)."""
+    computeTsIndexedDynamic :640-684). With ``pcache`` (built once per tree
+    by build_parent_cache) the per-frame cut is fully gather-free."""
     from hlod_gaussians_tpu.ops import gather_rows
 
     c = nodes.shape[0]
@@ -112,8 +166,13 @@ def expand_to_size_dynamic(
     parent_c = jnp.clip(parent, 0, c - 1)
 
     size = node_size_dynamic(pos, max_scale, viewpoint)
-    p_size, p_kids = gather_rows(
-        [size, nodes[:, NODE_CHILD_COUNT]], parent_c)
+    if pcache is not None:
+        p_pos, p_scale = pcache.p_aux
+        p_size = node_size_dynamic(p_pos, p_scale, viewpoint)
+        p_kids = pcache.p_kids
+    else:
+        p_size, p_kids = gather_rows(
+            [size, nodes[:, NODE_CHILD_COUNT]], parent_c)
     parent_size = jnp.where(has_parent, p_size, jnp.inf)
 
     is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
@@ -147,16 +206,27 @@ def expand_to_size_box(
     alive: jnp.ndarray,
     viewpoint: jnp.ndarray,
     target_size,
+    pcache: Optional[ParentCache] = None,
 ) -> CutResult:
     """Upstream box-metric cut (markNodesForSize runtime_switching.cu:495-529
-    + computeTsIndexed :588-637)."""
+    + computeTsIndexed :588-637). With ``pcache`` (build_parent_cache_box)
+    the per-frame cut is gather-free."""
+    from hlod_gaussians_tpu.ops import gather_rows
+
     c = nodes.shape[0]
     parent = nodes[:, NODE_PARENT]
     has_parent = parent >= 0
     parent_c = jnp.clip(parent, 0, c - 1)
 
     size = node_size_box(box_lo, box_hi, max_side, viewpoint)
-    parent_size = jnp.where(has_parent, size[parent_c], jnp.inf)
+    if pcache is not None:
+        p_lo, p_hi, p_side = pcache.p_aux
+        p_size = node_size_box(p_lo, p_hi, p_side, viewpoint)
+        p_kids = pcache.p_kids
+    else:
+        p_size, p_kids = gather_rows(
+            [size, nodes[:, NODE_CHILD_COUNT]], parent_c)
+    parent_size = jnp.where(has_parent, p_size, jnp.inf)
 
     is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
     sel = (size >= target_size) & is_leaf
@@ -170,7 +240,7 @@ def expand_to_size_box(
                         jnp.maximum(1.0 - tdiff / jnp.where(diff <= 0, 1.0, diff),
                                     0.0))
     ts = jnp.where(~has_parent | (parent_size > 2.0 * target_size), 1.0, t_inner)
-    kids = jnp.where(has_parent, nodes[parent_c, NODE_CHILD_COUNT], 1)
+    kids = jnp.where(has_parent, p_kids, 1)
     kids = jnp.maximum(kids, 1).astype(jnp.int32)
     return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
 

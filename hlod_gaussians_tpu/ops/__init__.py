@@ -13,16 +13,25 @@ def gather_rows(tables, idx):
     axis of a stacked table hits the vectorized path. All tables are cast
     to a common dtype; returns a list of [M] arrays in the input dtypes.
     """
-    out = [None] * len(tables)
-    # group by 4-byte class to avoid float round-trips of large ints
-    groups = {}
-    for i, t in enumerate(tables):
-        key = "i" if _jnp.issubdtype(t.dtype, _jnp.integer) else "f"
-        groups.setdefault(key, []).append(i)
-    for key, ids in groups.items():
-        dt = _jnp.int32 if key == "i" else _jnp.float32
-        stacked = _jnp.stack([tables[i].astype(dt) for i in ids], axis=0)
-        g = _jax.lax.optimization_barrier(stacked[:, idx])
-        for row, i in enumerate(ids):
-            out[i] = g[row].astype(tables[i].dtype)
-    return out
+    # BITCAST every 4-byte row to one shared i32 table: mixed-dtype inputs
+    # must still produce a SINGLE stacked gather (two single-row gathers
+    # scalarize — measured 25 ms vs 2.5 ms for [2, 1M])
+    def enc(t):
+        if _jnp.issubdtype(t.dtype, _jnp.integer):
+            return t.astype(_jnp.int32)
+        if t.dtype == _jnp.bool_:
+            return t.astype(_jnp.int32)
+        return _jax.lax.bitcast_convert_type(
+            t.astype(_jnp.float32), _jnp.int32)
+
+    def dec(row, t):
+        if _jnp.issubdtype(t.dtype, _jnp.integer):
+            return row.astype(t.dtype)
+        if t.dtype == _jnp.bool_:
+            return row.astype(t.dtype)
+        return _jax.lax.bitcast_convert_type(row, _jnp.float32).astype(
+            t.dtype)
+
+    stacked = _jnp.stack([enc(t) for t in tables], axis=0)
+    g = _jax.lax.optimization_barrier(stacked[:, idx])
+    return [dec(g[row], t) for row, t in enumerate(tables)]

@@ -156,6 +156,9 @@ def render_lod(
                                  # (viewer incremental maintenance) — replaces
                                  # the size-rule selection; ts/kids still come
                                  # from the size metric
+    pcache=None,                 # optional hierarchy.cut.ParentCache built
+                                 # once per tree: makes the per-frame cut
+                                 # gather-free (~25 ms/frame at 1M nodes)
     *,
     sh_degree: int, width: int, height: int,
     budget: int,                 # static capacity of the cut (padded)
@@ -184,18 +187,19 @@ def render_lod(
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
     c = means3d.shape[0]
-    max_scale = jnp.max(scales, axis=-1)
+    max_scale = jnp.max(scales.T, axis=0)   # lane-efficient [3,C] reduce
     if boxes is not None:
         box_lo, box_hi, max_side = boxes
         cut = cut_mod.expand_to_size_box(
-            nodes, box_lo, box_hi, max_side, alive, campos, target_size)
+            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
+            pcache)
     else:
         # camera forward axis in world space: third column of the
         # world->view linear block (row-vector convention)
         zdir = world_view[:3, 2]
         cut = cut_mod.expand_to_size_dynamic(
             nodes, means3d, max_scale, alive, campos, zdir, target_size,
-            use_frustum=use_frustum)
+            pcache, use_frustum=use_frustum)
 
     from hlod_gaussians_tpu.models.gaussians import NODE_DEPTH
     mask = cut.render_mask if cut_mask is None else \
@@ -258,7 +262,7 @@ def render_lod(
 def render_lod_auto(
     means3d, scales, quats, opacities, shs, nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-    target_size, boxes=None,
+    target_size, boxes=None, pcache=None,
     *,
     sh_degree: int, width: int, height: int,
     min_budget: int = 4096,
@@ -268,6 +272,8 @@ def render_lod_auto(
     k_max: int = 1024,
     antialiasing: bool = False,
     use_frustum: bool = True,
+    auto_max_dup: bool = True,
+    md_state: Optional[dict] = None,
 ):
     """render_lod with the cut budget bucketed to the actual cut size.
 
@@ -277,30 +283,51 @@ def render_lod_auto(
     first, rounds its count up to a power-of-two bucket (one compile per
     bucket, cached), and reuses the mask via `cut_mask` so selection isn't
     recomputed against a different rule. Costs one device->host sync per
-    frame — for evaluation/viewing, not the training loop."""
+    frame — for evaluation/viewing, not the training loop.
+
+    With ``auto_max_dup`` the binning capacity is also bucketed (4 entries
+    per selected node, floor 2^17) and doubled until the frame is not
+    truncated — the binning/align/blend stages all pay O(max_dup), so a
+    sparse cut must not pay a dense cut's entry capacity. Pass a persistent
+    ``md_state`` dict (viewer loop) so the escalated capacity is remembered
+    per budget bucket and later frames render exactly once."""
+    import dataclasses
+
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
     if boxes is not None:
         box_lo, box_hi, max_side = boxes
         cut = cut_mod.expand_to_size_box(
-            nodes, box_lo, box_hi, max_side, alive, campos, target_size)
+            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
+            pcache)
     else:
         zdir = world_view[:3, 2]
         cut = cut_mod.expand_to_size_dynamic(
-            nodes, means3d, jnp.max(scales, axis=-1), alive, campos, zdir,
-            target_size, use_frustum=use_frustum)
+            nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
+            target_size, pcache, use_frustum=use_frustum)
     n_sel = int(jnp.sum(cut.render_mask))
     budget = min_budget
     while budget < n_sel and budget < max_budget:
         budget <<= 1
     budget = min(budget, max_budget, means3d.shape[0])
-    return render_lod(
-        means3d, scales, quats, opacities, shs, nodes, alive,
-        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-        target_size, boxes, cut.render_mask,
-        sh_degree=sh_degree, width=width, height=height, budget=budget,
-        n_skybox=n_skybox, cfg=cfg, k_max=k_max, antialiasing=antialiasing,
-        use_frustum=use_frustum)
+    md = max(1 << 17, 4 * budget) if auto_max_dup else cfg.max_dup
+    if md_state is not None:
+        md = max(md, md_state.get(budget, 0))
+    while True:
+        out, n = render_lod(
+            means3d, scales, quats, opacities, shs, nodes, alive,
+            world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+            target_size, boxes, cut.render_mask, pcache,
+            sh_degree=sh_degree, width=width, height=height, budget=budget,
+            n_skybox=n_skybox,
+            cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
+            if auto_max_dup else cfg,
+            k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
+        if not auto_max_dup or md >= cfg.max_dup or not bool(out.truncated):
+            if md_state is not None:
+                md_state[budget] = md
+            return out, n
+        md *= 2
 
 
 def render(gaussian_arrays, camera: Camera, bg, *, sh_degree: int,

@@ -47,7 +47,9 @@ def main():
     t_build = time.perf_counter() - t0
     m = h.nodes.shape[0]
     print(json.dumps({"metric": "hierarchy_build", "value": round(t_build, 2),
-                      "unit": f"s for {m} nodes"}))
+                      "unit": f"s for {m} nodes",
+                      "note": "first call in process; includes one-time "
+                              "compile/warmup (~70s) — warm rebuild ~10s"}))
 
     cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=0.8,
                       width=width, height=height)
@@ -62,6 +64,11 @@ def main():
     nodes = jnp.asarray(h.nodes)
     alive = jnp.ones((m,), bool)
 
+    # parent cache: one gather per tree update, gather-free per-frame cuts
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+    pcache = jax.block_until_ready(cut_mod.build_parent_cache(
+        nodes, pos, jnp.max(scale.T, axis=0)))
+
     for tau in (0.0, 3.0, 6.0, 15.0):
         target = float(render_mod.tau_to_threshold(tau, float(cam.tan_fovx),
                                                    width))
@@ -69,7 +76,8 @@ def main():
             out, n_sel = render_mod.render_lod(
                 pos, scale, quat, op, sh, nodes, alive,
                 cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
-                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9),
+                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9), None, None,
+                pcache,
                 sh_degree=0, width=width, height=height,
                 budget=1 << 20, cfg=cfg, k_max=512, use_frustum=False)
             return out.image, n_sel
@@ -89,14 +97,17 @@ def main():
             "fps": round(1.0 / dt, 1),
             "n_rendered": int(n_sel)}), flush=True)
 
-        # budget-bucketed variant: the cut budget tracks the actual size
+        # budget-bucketed variant: the cut budget tracks the actual size;
+        # md_state persists the escalated binning capacity across frames
+        md_state = {}
+
         def run_auto():
             out = render_mod.render_lod_auto(
                 pos, scale, quat, op, sh, nodes, alive,
                 cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
-                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9),
+                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9), None, pcache,
                 sh_degree=0, width=width, height=height,
-                cfg=cfg, k_max=512, use_frustum=False)
+                cfg=cfg, k_max=512, use_frustum=False, md_state=md_state)
             return out[0].image
 
         img = run_auto()

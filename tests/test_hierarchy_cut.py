@@ -196,3 +196,41 @@ def test_render_lod_smoke_and_detail_consistency():
     assert 0 < int(n_sel_c) < n
     img = np.asarray(out_coarse.image)
     assert np.isfinite(img).all() and img.max() > 0.01
+
+
+@pytest.mark.parametrize("target", [1e-3, 0.05])
+def test_parent_cache_cut_equivalence(target):
+    """Per-frame cuts with the precomputed ParentCache must match the
+    gather-based path exactly (mask, ts, kids), for both metrics."""
+    h = build_test_hierarchy(65, seed=3)
+    nodes = jnp.asarray(h.nodes)
+    c = nodes.shape[0]
+    alive = jnp.ones(c, bool)
+    pos = jnp.asarray(h.pos)
+    ms = jnp.asarray(h.scale.max(-1))
+    viewpoint = jnp.asarray([0.3, -0.2, -30.0])
+    zdir = jnp.asarray([0.0, 0.0, 1.0])
+
+    ref = hc.expand_to_size_dynamic(nodes, pos, ms, alive, viewpoint, zdir,
+                                    target, use_frustum=True)
+    pc = hc.build_parent_cache(nodes, pos, ms)
+    got = hc.expand_to_size_dynamic(nodes, pos, ms, alive, viewpoint, zdir,
+                                    target, pc, use_frustum=True)
+    assert bool(jnp.all(got.render_mask == ref.render_mask))
+    np.testing.assert_allclose(np.asarray(got.ts), np.asarray(ref.ts),
+                               atol=1e-6)
+    assert bool(jnp.all(got.kids == ref.kids))
+
+    # box metric
+    from hlod_gaussians_tpu.hierarchy import boxes as boxes_mod
+    nb = boxes_mod.compute_node_boxes(h.nodes, h.pos, h.scale.max(-1))
+    lo, hi, side = (jnp.asarray(nb.lo), jnp.asarray(nb.hi),
+                    jnp.asarray(nb.max_side))
+    ref_b = hc.expand_to_size_box(nodes, lo, hi, side, alive, viewpoint,
+                                  target)
+    pcb = hc.build_parent_cache_box(nodes, lo, hi, side)
+    got_b = hc.expand_to_size_box(nodes, lo, hi, side, alive, viewpoint,
+                                  target, pcb)
+    assert bool(jnp.all(got_b.render_mask == ref_b.render_mask))
+    np.testing.assert_allclose(np.asarray(got_b.ts), np.asarray(ref_b.ts),
+                               atol=1e-6)
