@@ -52,7 +52,7 @@ def main():
     cam = make_camera(np.eye(3), np.zeros(3), fovx=1.2, fovy=0.8,
                       width=width, height=height)
     cfg = RasterizerConfig(backend="pallas", tile_w=32, tile_h=32,
-                           max_dup=448 * 1024, tight_binning=True)
+                           max_dup=352 * 1024, tight_binning=True)
 
     gt = jnp.zeros((3, height, width), jnp.float32)
     valid = jnp.ones((n,), bool)

@@ -93,7 +93,8 @@ def _usq_strict():
 
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod,
