@@ -6,6 +6,12 @@ arithmetic over the Gaussian axis — no per-thread control flow — so XLA maps
 it onto the VPU and fuses it with neighbors. Culling becomes masks instead of
 early returns.
 
+Layout note: all internal math is STRUCTURE-OF-ARRAYS — plain [N] columns —
+because [N, 3] / [N, 3, 3] arrays place the tiny trailing dims on the
+TPU's 128-wide lane axis (3/128 lane occupancy; measured ~50x slower for
+this pipeline). Public APIs keep the [N, k] shapes; the stacks/slices at
+the boundary are single relayout ops.
+
 Conventions (matching the reference exactly):
   * view matrix is world-to-camera, stored ROW-major as applied to row
     vectors: p_view = p @ V[:3, :3] + V[3, :3]   (torch convention
@@ -23,26 +29,51 @@ import jax.numpy as jnp
 from hlod_gaussians_tpu.ops import quaternion
 
 
+def _cols(a, k):
+    """[..., k] -> tuple of k [...] columns (boundary relayout)."""
+    return tuple(a[..., i] for i in range(k))
+
+
+def _cov3d_cols(sx, sy, sz, qw, qx, qy, qz):
+    """SoA 3D covariance: returns the 6 packed columns (xx,xy,xz,yy,yz,zz).
+
+    Sigma = R diag(s^2) R^T with R built exactly as the reference's
+    build_rotation (utils/general_utils.py:78-98); quaternions are
+    normalized defensively (forward.cu:190 assumes unit quats).
+    """
+    inv = 1.0 / jnp.sqrt(
+        jnp.maximum(qw * qw + qx * qx + qy * qy + qz * qz, 1e-24))
+    r, x, y, z = qw * inv, qx * inv, qy * inv, qz * inv
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    a = sx * sx
+    b = sy * sy
+    c = sz * sz
+    # sigma_ij = sum_k s_k^2 R_ik R_jk
+    xx = a * r00 * r00 + b * r01 * r01 + c * r02 * r02
+    xy = a * r00 * r10 + b * r01 * r11 + c * r02 * r12
+    xz = a * r00 * r20 + b * r01 * r21 + c * r02 * r22
+    yy = a * r10 * r10 + b * r11 * r11 + c * r12 * r12
+    yz = a * r10 * r20 + b * r11 * r21 + c * r12 * r22
+    zz = a * r20 * r20 + b * r21 * r21 + c * r22 * r22
+    return xx, xy, xz, yy, yz, zz
+
+
 def compute_cov3d(scale, quat, scale_modifier=1.0):
     """scale [...,3], quat [...,4] -> symmetric cov packed [...,6].
 
     Packing order (xx, xy, xz, yy, yz, zz) — matches forward.cu:181-215.
-    Note the reference does NOT normalize the quaternion here (forward.cu:190);
-    callers keep quaternions normalized through the optimizer instead. We
-    normalize defensively: identical result for unit quats.
     """
-    q = quaternion.normalize(quat)
-    R = quaternion.to_matrix(q)  # [...,3,3]
-    s = scale * scale_modifier
-    # M = S R in the reference's column-major glm — equivalent to scaling the
-    # rows of R; Sigma = M^T M = R^T S^2 R in their layout which in row-vector
-    # convention is Sigma = R diag(s^2) R^T.
-    RS = R * (s[..., None, :])              # R @ diag(s)
-    sigma = RS @ jnp.swapaxes(RS, -1, -2)   # R S S^T R^T
-    return jnp.stack([
-        sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-        sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2],
-    ], axis=-1)
+    sx, sy, sz = _cols(scale * scale_modifier, 3)
+    qw, qx, qy, qz = _cols(quat, 4)
+    return jnp.stack(_cov3d_cols(sx, sy, sz, qw, qx, qy, qz), axis=-1)
 
 
 def unpack_cov3d(cov6):
@@ -55,42 +86,51 @@ def unpack_cov3d(cov6):
     ], axis=-2)
 
 
+def _affine_cols(mx, my, mz, mat, j):
+    """Column j of the row-vector transform p @ mat[:3] + mat[3]."""
+    return mx * mat[0, j] + my * mat[1, j] + mz * mat[2, j] + mat[3, j]
+
+
 def transform_points(points, mat4):
     """Row-vector 4x4 transform with homogeneous divide.
 
     Returns (projected xyz, w). points [...,3], mat4 [4,4].
     """
-    hom = points @ mat4[:3, :] + mat4[3, :]
-    w = hom[..., 3:4]
+    mx, my, mz = _cols(points, 3)
+    h0 = _affine_cols(mx, my, mz, mat4, 0)
+    h1 = _affine_cols(mx, my, mz, mat4, 1)
+    h2 = _affine_cols(mx, my, mz, mat4, 2)
+    w = _affine_cols(mx, my, mz, mat4, 3)
     # sign-safe guard: |w| ~ 0 rows are culled later, but must stay finite so
     # their NaNs can't poison backward accumulators shared across rows.
     w_safe = jnp.where(jnp.abs(w) < 1e-7, 1e-7, w)
-    return hom[..., :3] / w_safe, w[..., 0]
+    inv_w = 1.0 / w_safe
+    return jnp.stack([h0 * inv_w, h1 * inv_w, h2 * inv_w], axis=-1), w
 
 
 def transform_points_3x4(points, mat4):
     """Apply only the affine part (world -> view). Returns [...,3]."""
-    return points @ mat4[:3, :3] + mat4[3, :3]
+    mx, my, mz = _cols(points, 3)
+    return jnp.stack([
+        mx * mat4[0, 0] + my * mat4[1, 0] + mz * mat4[2, 0] + mat4[3, 0],
+        mx * mat4[0, 1] + my * mat4[1, 1] + mz * mat4[2, 1] + mat4[3, 1],
+        mx * mat4[0, 2] + my * mat4[1, 2] + mz * mat4[2, 2] + mat4[3, 2],
+    ], axis=-1)
 
 
-def compute_cov2d(mean, cov6, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy):
-    """EWA 2D covariance (reference computeCov2D, forward.cu:141-176).
+def _cov2d_cols(t0, t1, t2, cov6_cols, viewmatrix,
+                focal_x, focal_y, tan_fovx, tan_fovy):
+    """SoA EWA 2D covariance (reference computeCov2D, forward.cu:141-176).
 
-    mean [...,3] world-space (already LOD-interpolated), cov6 [...,6].
-    Returns [...,3] packed (cxx, cxy, cyy), WITHOUT the +dilation term.
+    t0..t2: view-space position columns. Returns (cxx, cxy, cyy) WITHOUT
+    the +dilation term.
     """
-    t = transform_points_3x4(mean, viewmatrix)
-    # near-zero-depth rows are culled downstream; keep the math finite here
-    # (0/0 would create NaNs that leak through zero cotangents in backward).
-    tz = t[..., 2]
-    tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    tz = jnp.where(jnp.abs(t2) < 1e-6, 1e-6, t2)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+    tx = jnp.clip(t0 / tz, -limx, limx) * tz
+    ty = jnp.clip(t1 / tz, -limy, limy) * tz
 
-    # J: Jacobian of the perspective projection at (tx, ty, tz) — rows are
-    # d(px,py)/d(view xyz). Only the top-left 2x3 block matters.
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
     j00 = focal_x * inv_z
@@ -98,22 +138,46 @@ def compute_cov2d(mean, cov6, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy):
     j11 = focal_y * inv_z
     j12 = -focal_y * ty * inv_z2
 
-    W = viewmatrix[:3, :3]  # world->view linear part (row-vector convention)
-    V = unpack_cov3d(cov6)
-    # cov2d = J (W^T V W) J^T in row-vector convention: view-space covariance
-    # is W^T V W because p_view = p W.
-    VW = V @ W                                  # [...,3,3]
-    Vview = jnp.swapaxes(W, -1, -2) @ VW        # W^T V W
-    # apply J on both sides; J = [[j00,0,j02],[0,j11,j12]]
-    a = Vview[..., 0, 0]
-    b = Vview[..., 0, 1]
-    c = Vview[..., 0, 2]
-    d = Vview[..., 1, 1]
-    e = Vview[..., 1, 2]
-    f = Vview[..., 2, 2]
+    # view-space covariance Vv = W^T V W (row-vector convention), expanded
+    # per packed column; W = viewmatrix[:3,:3] entries are scalars.
+    vxx, vxy, vxz, vyy, vyz, vzz = cov6_cols
+    V = ((vxx, vxy, vxz), (vxy, vyy, vyz), (vxz, vyz, vzz))
+    W = viewmatrix
+
+    def vw(i, b):  # (V @ W)[i, b]
+        return V[i][0] * W[0, b] + V[i][1] * W[1, b] + V[i][2] * W[2, b]
+
+    vw00, vw01, vw02 = vw(0, 0), vw(0, 1), vw(0, 2)
+    vw10, vw11, vw12 = vw(1, 0), vw(1, 1), vw(1, 2)
+    vw20, vw21, vw22 = vw(2, 0), vw(2, 1), vw(2, 2)
+
+    def wtvw(a, b0, b1, b2):  # (W^T (VW))[a, :] dot column
+        return W[0, a] * b0 + W[1, a] * b1 + W[2, a] * b2
+
+    a = wtvw(0, vw00, vw10, vw20)   # Vv[0,0]
+    b = wtvw(1, vw00, vw10, vw20)   # Vv[0,1] (== Vv[1,0])
+    c = wtvw(2, vw00, vw10, vw20)   # Vv[0,2]
+    d = wtvw(1, vw01, vw11, vw21)   # Vv[1,1]
+    e = wtvw(2, vw01, vw11, vw21)   # Vv[1,2]
+    f = wtvw(2, vw02, vw12, vw22)   # Vv[2,2]
+
     cxx = j00 * j00 * a + 2 * j00 * j02 * c + j02 * j02 * f
     cxy = j00 * j11 * b + j00 * j12 * c + j02 * j11 * e + j02 * j12 * f
     cyy = j11 * j11 * d + 2 * j11 * j12 * e + j12 * j12 * f
+    return cxx, cxy, cyy
+
+
+def compute_cov2d(mean, cov6, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy):
+    """EWA 2D covariance; mean [...,3] world-space, cov6 [...,6].
+
+    Returns [...,3] packed (cxx, cxy, cyy), WITHOUT the +dilation term.
+    """
+    mx, my, mz = _cols(mean, 3)
+    t0 = _affine_cols(mx, my, mz, viewmatrix, 0)
+    t1 = _affine_cols(mx, my, mz, viewmatrix, 1)
+    t2 = _affine_cols(mx, my, mz, viewmatrix, 2)
+    cxx, cxy, cyy = _cov2d_cols(t0, t1, t2, _cols(cov6, 6), viewmatrix,
+                                focal_x, focal_y, tan_fovx, tan_fovy)
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
@@ -158,15 +222,25 @@ def project_gaussians(
     actually blend (entries it drops are exactly the alpha<alpha_min skips,
     forward.cu:546-556) while touching far fewer tiles.
     """
-    p_proj, w = transform_points(means, projmatrix)
-    p_view = transform_points_3x4(means, viewmatrix)
-    depth = p_view[..., 2]
+    mx, my, mz = _cols(means, 3)
+    h0 = _affine_cols(mx, my, mz, projmatrix, 0)
+    h1 = _affine_cols(mx, my, mz, projmatrix, 1)
+    w = _affine_cols(mx, my, mz, projmatrix, 3)
+    w_safe = jnp.where(jnp.abs(w) < 1e-7, 1e-7, w)
+    inv_w = 1.0 / w_safe
 
-    cov = compute_cov2d(means, cov6, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy)
-    det_orig = cov[..., 0] * cov[..., 2] - cov[..., 1] ** 2
-    cxx = cov[..., 0] + dilation
-    cyy = cov[..., 2] + dilation
-    cxy = cov[..., 1]
+    t0 = _affine_cols(mx, my, mz, viewmatrix, 0)
+    t1 = _affine_cols(mx, my, mz, viewmatrix, 1)
+    t2 = _affine_cols(mx, my, mz, viewmatrix, 2)
+    depth = t2
+
+    cov_xx, cov_xy, cov_yy = _cov2d_cols(
+        t0, t1, t2, _cols(cov6, 6), viewmatrix,
+        focal_x, focal_y, tan_fovx, tan_fovy)
+    det_orig = cov_xx * cov_yy - cov_xy ** 2
+    cxx = cov_xx + dilation
+    cyy = cov_yy + dilation
+    cxy = cov_xy
     det = cxx * cyy - cxy * cxy
 
     valid = depth > near
@@ -208,7 +282,8 @@ def project_gaussians(
     # gaussians whose peak alpha is below the blend threshold never land
     valid = valid & (two_l > 0.0)
 
-    xy = jnp.stack([ndc2pix(p_proj[..., 0], width), ndc2pix(p_proj[..., 1], height)], axis=-1)
+    px = ndc2pix(h0 * inv_w, width)
+    py = ndc2pix(h1 * inv_w, height)
 
     # zero-area cull happens in tile binning (rect area == 0); here just
     # propagate radius=0 for invalid rows.
@@ -218,8 +293,9 @@ def project_gaussians(
     # Sanitize culled rows. They never contribute to the image, but their
     # values are still gathered by binning padding entries and would turn the
     # tile-shared transmittance chain NaN in backward (0 * NaN = NaN).
+    xy = jnp.stack([jnp.where(valid, px, 0.0),
+                    jnp.where(valid, py, 0.0)], axis=-1)
     v1 = valid[..., None]
-    xy = jnp.where(v1, xy, 0.0)
     conic = jnp.where(v1, conic, jnp.asarray([1.0, 0.0, 1.0], conic.dtype))
     depth = jnp.where(valid, depth, 1.0)
     opacity = jnp.where(valid, opacity, 0.0)

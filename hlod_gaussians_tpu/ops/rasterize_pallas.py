@@ -81,20 +81,40 @@ def _tri_strict():
     """[CHUNK, CHUNK] strict lower-triangular ones: (A^T L)_k = sum_{j<k}."""
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (c < r).astype(jnp.float32)
+    return (c < r).astype(jnp.bfloat16)
 
 
 def _usq_strict():
     """[CHUNK, CHUNK] strict upper-triangular ones: (U M)_k = sum_{j>k}."""
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (c > r).astype(jnp.float32)
+    return (c > r).astype(jnp.bfloat16)
 
 
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
+
+
+def _mm_mask(mask_bf, b):
+    """``mask @ b`` where ``mask`` is exactly bf16-representable (0/1 masks).
+
+    HIGHEST f32 matmul costs 6 bf16 MXU passes. With one operand exact in
+    bf16, a Dekker 3-way split of the f32 operand is EXACT
+    (b == b0+b1+b2 bitwise: 8+16/8+24 mantissa-bit windows, each residual
+    representable), so three native single-pass bf16 matmuls with f32
+    accumulation reproduce the HIGHEST result to accumulation-order rounding
+    — Mosaic doesn't expose Precision.HIGH, hence the manual split."""
+    b0f = b.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = b - b0f
+    b1 = r1.astype(jnp.bfloat16)
+    b2 = (r1 - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda x: jax.lax.dot_general(
+        mask_bf, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    return (dot(b0f.astype(jnp.bfloat16)) + dot(b1)) + dot(b2)
 
 
 def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod,
@@ -222,7 +242,7 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
                 alpha_min=alpha_min, use_lod=use_lod, inside=inside)
 
             lg = jnp.log1p(-alpha)                          # 0 where masked
-            cum_ex = _mm(tril, lg)                          # exclusive prefix
+            cum_ex = _mm_mask(tril, lg)                     # exclusive prefix
             log_before = logT + cum_ex                      # [CHUNK, pix]
             log_incl = log_before + lg
             # applied iff the inclusive product stays above t_eps
@@ -479,7 +499,7 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 
         chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
         logT_start = logT_end - chunk_sum
-        log_before = logT_start + _mm(tril, lg)
+        log_before = logT_start + _mm_mask(tril, lg)
         t_before = jnp.exp(log_before)                        # [CHUNK, pix]
         contrib = a * t_before
 
@@ -501,7 +521,7 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         #   sum_ch g_ch * Suf_k^ch = [usq @ (contrib * cdotg)]_k
         cdotg = cr * g0 + cg * g1 + cb * g2 + cd * g3     # [CHUNK, pix]
         pcg = contrib * cdotg
-        suf_comb = _mm(usq, pcg) + s_comb
+        suf_comb = _mm_mask(usq, pcg) + s_comb
 
         # one shared division: (suffix + dT*final_t) / (1-a); dT*final_t is
         # loop-invariant (hoisted to dTf outside the chunk walk)
