@@ -159,6 +159,10 @@ def render_lod(
     pcache=None,                 # optional hierarchy.cut.ParentCache built
                                  # once per tree: makes the per-frame cut
                                  # gather-free (~25 ms/frame at 1M nodes)
+    precomputed_cut=None,        # optional hierarchy.cut.CutResult computed
+                                 # by the caller (same view!) — skips the
+                                 # in-jit expand entirely (streaming loops
+                                 # compute the cut once and reuse it here)
     *,
     sh_degree: int, width: int, height: int,
     budget: int,                 # static capacity of the cut (padded)
@@ -187,8 +191,9 @@ def render_lod(
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
     c = means3d.shape[0]
-    max_scale = jnp.max(scales.T, axis=0)   # lane-efficient [3,C] reduce
-    if boxes is not None:
+    if precomputed_cut is not None:
+        cut = precomputed_cut
+    elif boxes is not None:
         box_lo, box_hi, max_side = boxes
         cut = cut_mod.expand_to_size_box(
             nodes, box_lo, box_hi, max_side, alive, campos, target_size,
@@ -197,6 +202,7 @@ def render_lod(
         # camera forward axis in world space: third column of the
         # world->view linear block (row-vector convention)
         zdir = world_view[:3, 2]
+        max_scale = jnp.max(scales.T, axis=0)   # lane-efficient [3,C] reduce
         cut = cut_mod.expand_to_size_dynamic(
             nodes, means3d, max_scale, alive, campos, zdir, target_size,
             pcache, use_frustum=use_frustum)
@@ -259,6 +265,24 @@ def render_lod(
     return out, n_selected
 
 
+def _budget_bucket(want: int, min_budget: int, max_budget: int,
+                   cap: int) -> int:
+    """Smallest ladder bucket >= want, ladder = {1, 1.5} x 2^k.
+
+    Every budget-sized stage (compaction, interpolation, preprocess,
+    binning capacity) pays the bucket, so pure power-of-two buckets
+    overshoot real cuts by up to 2x; the half-step caps the overshoot at
+    1.5x for one extra compile per octave."""
+    b = min_budget
+    while b < want and b < max_budget:
+        b_half = b + (b >> 1)
+        if want <= b_half:
+            b = b_half
+            break
+        b <<= 1
+    return min(max(b, min_budget), max_budget, cap)
+
+
 def render_lod_auto(
     means3d, scales, quats, opacities, shs, nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
@@ -306,10 +330,7 @@ def render_lod_auto(
             nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
             target_size, pcache, use_frustum=use_frustum)
     n_sel = int(jnp.sum(cut.render_mask))
-    budget = min_budget
-    while budget < n_sel and budget < max_budget:
-        budget <<= 1
-    budget = min(budget, max_budget, means3d.shape[0])
+    budget = _budget_bucket(n_sel, min_budget, max_budget, means3d.shape[0])
     md = max(1 << 17, 4 * budget) if auto_max_dup else cfg.max_dup
     if md_state is not None:
         md = max(md, md_state.get(budget, 0))
@@ -317,7 +338,7 @@ def render_lod_auto(
         out, n = render_lod(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-            target_size, boxes, cut.render_mask, pcache,
+            target_size, boxes, None, pcache, cut,
             sh_degree=sh_degree, width=width, height=height, budget=budget,
             n_skybox=n_skybox,
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
@@ -328,6 +349,112 @@ def render_lod_auto(
                 md_state[budget] = md
             return out, n
         md *= 2
+
+
+def render_lod_stream(
+    means3d, scales, quats, opacities, shs, nodes, alive,
+    world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+    target_size, state, boxes=None, pcache=None,
+    *,
+    sh_degree: int, width: int, height: int,
+    min_budget: int = 4096,
+    max_budget: int = 1 << 20,
+    n_skybox: int = 0,
+    cfg: RasterizerConfig = RasterizerConfig(),
+    k_max: int = 1024,
+    antialiasing: bool = False,
+    use_frustum: bool = True,
+    headroom: float = 1.125,
+    shrink_patience: int = 3,
+):
+    """Viewer streaming render: budget/capacity regulation with ONE-FRAME
+    LAG, so no host<->device round trip sits between frame dispatches.
+
+    ``render_lod_auto`` syncs twice per frame (`int(n_sel)` +
+    `bool(truncated)`); over a remote-dispatch link those dominate the
+    frame (~4x at tau=15). Here the frame is dispatched with the budget
+    bucket chosen from the PREVIOUS frame's observed cut size — the TPU
+    analogue of the SIBR viewer's frame-to-frame granularity regulation
+    (runtime_maintenance.cu:39-387 adapts to the previous frame's budget
+    overrun too). Scalars for frame k are fetched while frame k+1's work
+    occupies the device, so the link latency is hidden.
+
+    Consequences, by design (one frame each, then the state adapts):
+      * cut grew past the budget -> that frame drops its smallest-on-screen
+        nodes (the budget-overrun behavior of the reference viewer);
+      * dup entries exceeded the binning bucket -> that frame is truncated.
+
+    ``state`` is a mutable dict owned by the caller; pass ``{}`` on the
+    first frame (which is rendered with a blocking probe to seed the
+    bucket). Returns (RenderResult, n_selected_device_scalar).
+    """
+    import dataclasses
+
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+
+    if boxes is not None:
+        box_lo, box_hi, max_side = boxes
+        cut = cut_mod.expand_to_size_box(
+            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
+            pcache)
+    else:
+        zdir = world_view[:3, 2]
+        cut = cut_mod.expand_to_size_dynamic(
+            nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
+            target_size, pcache, use_frustum=use_frustum)
+
+    cap = means3d.shape[0]
+
+    def bucket_for(n_sel: int) -> int:
+        return _budget_bucket(int(n_sel * headroom) + 1, min_budget,
+                              max_budget, cap)
+
+    if "budget" not in state:
+        # first frame: blocking probe to seed the bucket (once per stream)
+        n0 = int(jnp.sum(cut.render_mask))
+        state["budget"] = bucket_for(n0)
+        state["md"] = {}
+        state["shrink"] = 0
+
+    budget = state["budget"]
+    md = state["md"].get(budget, max(1 << 17, 4 * budget))
+    out, n_sel = render_lod(
+        means3d, scales, quats, opacities, shs, nodes, alive,
+        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+        target_size, boxes, None, pcache, cut,
+        sh_degree=sh_degree, width=width, height=height, budget=budget,
+        n_skybox=n_skybox,
+        cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
+        k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
+
+    # start the D2H copies NOW (non-blocking): a blocking scalar fetch over
+    # a remote-dispatch link flushes the whole queue (~30-55 ms measured);
+    # with the copy in flight the next frame's fetch is a local read
+    n_sel.copy_to_host_async()
+    out.truncated.copy_to_host_async()
+
+    # resolve the PREVIOUS frame's feedback — its device work completed
+    # while this frame was being enqueued, so these host reads overlap the
+    # current frame's device compute instead of serializing with it
+    prev = state.pop("pending", None)
+    if prev is not None:
+        p_n, p_trunc, p_budget, p_md = prev
+        p_n = int(p_n)
+        if bool(p_trunc) and p_md < cfg.max_dup:
+            state["md"][p_budget] = min(p_md * 2, cfg.max_dup)
+        want = bucket_for(p_n)
+        if want > state["budget"]:
+            state["budget"] = want
+            state["shrink"] = 0
+        elif want < state["budget"]:
+            state["shrink"] += 1
+            if state["shrink"] >= shrink_patience:
+                state["budget"] = want
+                state["shrink"] = 0
+        else:
+            state["shrink"] = 0
+    state["pending"] = (n_sel, out.truncated, budget, md)
+    return out, n_sel
 
 
 def render(gaussian_arrays, camera: Camera, bg, *, sh_degree: int,

@@ -102,7 +102,8 @@ def main():
     mask = cut.render_mask
     neg_size = -jnp.where(jnp.isfinite(cut.size), cut.size, 3.4e38)
     _, _, idx = jax.lax.sort(
-        ((~mask).astype(jnp.int32), neg_size, jnp.arange(m, jnp.int32)),
+        ((~mask).astype(jnp.int32), neg_size,
+         jnp.arange(m, dtype=jnp.int32)),
         num_keys=2)
     idx = jnp.clip(idx[:budget], 0, m - 1)
     parent = jnp.clip(nodes[idx, NODE_PARENT], 0, m - 1)

@@ -234,3 +234,50 @@ def test_parent_cache_cut_equivalence(target):
     assert bool(jnp.all(got_b.render_mask == ref_b.render_mask))
     np.testing.assert_allclose(np.asarray(got_b.ts), np.asarray(ref_b.ts),
                                atol=1e-6)
+
+
+def test_render_lod_precomputed_cut_and_stream_equivalence():
+    """render_lod(precomputed_cut=...) and render_lod_stream must produce
+    the same image as the in-jit cut path; the stream state must regulate
+    (budget bucket seeded, pending feedback carried)."""
+    n = 48
+    rng = np.random.default_rng(9)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    scales = np.full((n, 3), 0.05, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    ops = np.full((n,), 0.8, np.float32)
+    shs = rng.random((n, 1, 3)).astype(np.float32) - 0.5
+
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    m = h.nodes.shape[0]
+    cam = cam_mod.make_camera(np.eye(3), np.zeros(3), 0.8, 0.8, 64, 64)
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=4096)
+    args = (jnp.asarray(h.pos), jnp.asarray(h.scale), jnp.asarray(h.quat),
+            jnp.asarray(np.clip(h.opacity, 0, 1)), jnp.asarray(h.sh),
+            jnp.asarray(h.nodes), jnp.ones(m, bool),
+            cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy, jnp.zeros(3), 0.01)
+    kw = dict(sh_degree=0, width=64, height=64, cfg=cfg, k_max=128,
+              use_frustum=False)
+
+    ref, n_ref = render_mod.render_lod(*args, budget=64, **kw)
+
+    cut = hc.expand_to_size_dynamic(
+        args[5], args[0], jnp.max(args[1].T, axis=0), args[6], cam.campos,
+        cam.world_view[:3, 2], 0.01, use_frustum=False)
+    got, n_got = render_mod.render_lod(
+        *args, None, None, None, cut, budget=64, **kw)
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(ref.image),
+                               atol=1e-6)
+
+    st = {}
+    for _ in range(3):   # seed frame + two regulated frames
+        out_s, n_s = render_mod.render_lod_stream(
+            *args, st, min_budget=64, **kw)
+    assert int(n_s) == int(n_ref)
+    assert st["budget"] >= int(n_ref)
+    assert "pending" in st and st["md"] is not None
+    np.testing.assert_allclose(np.asarray(out_s.image),
+                               np.asarray(ref.image), atol=1e-6)
