@@ -333,6 +333,81 @@ def is_hierarchy_cut(nodes, mask, alive) -> jnp.ndarray:
     return jnp.all(jnp.where(relevant, count == 1, True))
 
 
+class InterpTable(NamedTuple):
+    """Static child+parent feature table for LOD interpolation, built ONCE
+    per (tree, params) update. Row layout: [0:D] child features, [D:2D]
+    parent features with the quaternion sign fix PRE-APPLIED (the child/
+    parent pairing is static, so `dot(q_c, q_p) < 0` is too). The per-frame
+    interpolation is then one wide [2D, M] gather + lerp — no parent-index
+    lookup, no sign logic, no per-frame table build (~31 ms -> ~7 ms at a
+    384k cut on 1M nodes). D = 11 + 3*sh_k is recovered from the row count
+    (a static int field would become a traced pytree leaf under jit)."""
+    feats: jnp.ndarray         # [2D, C]
+
+
+def build_interp_table(params: dict, nodes: jnp.ndarray) -> InterpTable:
+    """See InterpTable. `params` are ACTIVATED arrays as in
+    interpolate_with_parents."""
+    k = params["shs"].shape[1]
+    c = params["means3d"].shape[0]
+    feats = jnp.concatenate([
+        params["means3d"].T,                      # 0:3
+        params["scales"].T,                       # 3:6
+        params["quats"].T,                        # 6:10
+        params["opacities"][None, :],             # 10
+        params["shs"].reshape(c, k * 3).T,        # 11:11+3k
+    ], axis=0)                                    # [D, C]
+    parent = jnp.clip(nodes[:, NODE_PARENT], 0, c - 1)
+    pfeats = jax.lax.optimization_barrier(feats[:, parent])
+    dots = jnp.sum(feats[6:10] * pfeats[6:10], axis=0, keepdims=True)
+    sign = jnp.where(dots < 0, -1.0, 1.0)
+    pfeats = pfeats.at[6:10].multiply(sign)
+    return InterpTable(feats=jnp.concatenate([feats, pfeats], axis=0))
+
+
+def interpolate_from_table(table: InterpTable, render_idx: jnp.ndarray,
+                           ts: jnp.ndarray) -> dict:
+    """Per-frame LOD interpolation via the precomputed InterpTable.
+    Bit-identical to interpolate_with_parents for unit-normalized quats
+    (the sign fix commutes with the static pairing)."""
+    d = table.feats.shape[0] // 2
+    k = (d - 11) // 3
+    g = jax.lax.optimization_barrier(table.feats[:, render_idx])  # [2D, M]
+    t = ts[None, :]
+    out = t * g[:d] + (1.0 - t) * g[d:]
+    m = render_idx.shape[0]
+    return dict(
+        means3d=out[0:3].T,
+        scales=out[3:6].T,
+        quats=out[6:10].T,                        # renderer normalizes
+        opacities=out[10],
+        shs=out[11:11 + 3 * k].T.reshape(m, k, 3),
+    )
+
+
+def interpolate_all_masked(table: InterpTable, ts: jnp.ndarray,
+                           mask: jnp.ndarray) -> dict:
+    """LOD-interpolate EVERY node by pure elementwise lerp over the
+    InterpTable — no compaction, no gather. Rows outside ``mask`` get t=1
+    (pass-through child params) so downstream math stays finite; the
+    renderer culls them via its valid mask. A 384k-index feature gather
+    costs ~16 ms (latency-bound, and index-sorting does NOT help — measured
+    21 ms sorted vs 16 ms random); the full-table lerp is ~3 ms at 1M
+    nodes, so for dense cuts the masked path wins outright."""
+    d = table.feats.shape[0] // 2
+    k = (d - 11) // 3
+    t = jnp.where(mask, ts, 1.0)[None, :]
+    out = t * table.feats[:d] + (1.0 - t) * table.feats[d:]
+    c = table.feats.shape[1]
+    return dict(
+        means3d=out[0:3].T,
+        scales=out[3:6].T,
+        quats=out[6:10].T,                        # renderer normalizes
+        opacities=out[10],
+        shs=out[11:11 + 3 * k].T.reshape(c, k, 3),
+    )
+
+
 def interpolate_with_parents(
     params: dict,              # activated: means3d, scales, quats, opacities, shs
     render_idx: jnp.ndarray,   # [M] node indices (padded)

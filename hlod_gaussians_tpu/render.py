@@ -163,6 +163,9 @@ def render_lod(
                                  # by the caller (same view!) — skips the
                                  # in-jit expand entirely (streaming loops
                                  # compute the cut once and reuse it here)
+    interp_table=None,           # optional hierarchy.cut.InterpTable built
+                                 # once per (tree, params): per-frame
+                                 # interpolation becomes one wide gather
     *,
     sh_degree: int, width: int, height: int,
     budget: int,                 # static capacity of the cut (padded)
@@ -228,14 +231,22 @@ def render_lod(
     sel_valid = lane < n_selected
     idx_c = jnp.clip(idx, 0, c - 1)
 
-    from hlod_gaussians_tpu.models.gaussians import NODE_PARENT
-    parent = jnp.clip(nodes[idx_c, NODE_PARENT], 0, c - 1)
-    ts_sel = cut.ts[idx_c]
-    kids_sel = cut.kids[idx_c]
+    # one stacked [2, M] gather for the per-frame cut outputs (1-row
+    # gathers scalarize on TPU, see ops/binning.py)
+    tk = jax.lax.optimization_barrier(jnp.stack(
+        [cut.ts, cut.kids.astype(jnp.float32)], axis=0)[:, idx_c])
+    ts_sel = tk[0]
+    kids_sel = tk[1].astype(jnp.int32)
 
-    params = dict(means3d=means3d, scales=scales, quats=quats,
-                  opacities=opacities, shs=shs)
-    interp = cut_mod.interpolate_with_parents(params, idx_c, parent, ts_sel)
+    if interp_table is not None:
+        interp = cut_mod.interpolate_from_table(interp_table, idx_c, ts_sel)
+    else:
+        from hlod_gaussians_tpu.models.gaussians import NODE_PARENT
+        parent = jnp.clip(nodes[idx_c, NODE_PARENT], 0, c - 1)
+        params = dict(means3d=means3d, scales=scales, quats=quats,
+                      opacities=opacities, shs=shs)
+        interp = cut_mod.interpolate_with_parents(params, idx_c, parent,
+                                                  ts_sel)
 
     if n_skybox > 0:
         sky = jnp.arange(n_skybox, dtype=jnp.int32)
@@ -255,6 +266,89 @@ def render_lod(
         ts_r, kids_r = ts_sel, kids_sel
 
     quats_r = quats_r / jnp.linalg.norm(quats_r, axis=-1, keepdims=True).clip(1e-12)
+
+    out = render_arrays(
+        means_r, scales_r, quats_r, opac_r, shs_r, valid_r,
+        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+        ts_r, kids_r, None,
+        sh_degree=sh_degree, width=width, height=height, cfg=cfg,
+        k_max=k_max, antialiasing=antialiasing, use_lod=True)
+    return out, n_selected
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "cfg", "k_max",
+                     "antialiasing", "n_skybox", "use_frustum"))
+def render_lod_masked(
+    means3d, scales, quats, opacities, shs,
+    nodes, alive,
+    world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+    target_size,
+    boxes=None,
+    pcache=None,
+    precomputed_cut=None,
+    interp_table=None,           # required in practice; built on the fly
+                                 # from params if None
+    *,
+    sh_degree: int, width: int, height: int,
+    n_skybox: int = 0,
+    cfg: RasterizerConfig = RasterizerConfig(),
+    k_max: int = 1024,
+    antialiasing: bool = False,
+    use_frustum: bool = True,
+):
+    """Budget-free LOD render for DENSE cuts: every node is LOD-interpolated
+    by one elementwise lerp over the InterpTable and the cut mask becomes
+    the renderer's valid mask — no compaction sort, no per-frame feature
+    gather. Wins when the cut selects more than ~1/4 of the tree (feature
+    gathers are latency-bound at ~42 ns/index); `render_lod` with a budget
+    stays cheaper for sparse cuts. Returns (RenderResult, n_selected)."""
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+
+    if precomputed_cut is not None:
+        cut = precomputed_cut
+    elif boxes is not None:
+        box_lo, box_hi, max_side = boxes
+        cut = cut_mod.expand_to_size_box(
+            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
+            pcache)
+    else:
+        zdir = world_view[:3, 2]
+        cut = cut_mod.expand_to_size_dynamic(
+            nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
+            target_size, pcache, use_frustum=use_frustum)
+
+    if interp_table is None:
+        interp_table = cut_mod.build_interp_table(
+            dict(means3d=means3d, scales=scales, quats=quats,
+                 opacities=opacities, shs=shs), nodes)
+
+    mask = cut.render_mask
+    n_selected = jnp.sum(mask)
+    interp = cut_mod.interpolate_all_masked(interp_table, cut.ts, mask)
+    ts_r = jnp.where(mask, cut.ts, 1.0)
+    kids_r = jnp.maximum(cut.kids, 1)
+
+    if n_skybox > 0:
+        sky = jnp.arange(n_skybox, dtype=jnp.int32)
+        def cat(a, b):
+            return jnp.concatenate([a, b], axis=0)
+        means_r = cat(means3d[sky], interp["means3d"])
+        scales_r = cat(scales[sky], interp["scales"])
+        quats_r = cat(quats[sky], interp["quats"])
+        opac_r = cat(opacities[sky], interp["opacities"])
+        shs_r = cat(shs[sky], interp["shs"])
+        valid_r = cat(alive[sky], mask)
+        ts_r = cat(jnp.ones((n_skybox,)), ts_r)
+        kids_r = cat(jnp.ones((n_skybox,), jnp.int32), kids_r)
+    else:
+        means_r, scales_r, quats_r = (interp["means3d"], interp["scales"],
+                                      interp["quats"])
+        opac_r, shs_r, valid_r = interp["opacities"], interp["shs"], mask
+
+    quats_r = quats_r / jnp.linalg.norm(
+        quats_r, axis=-1, keepdims=True).clip(1e-12)
 
     out = render_arrays(
         means_r, scales_r, quats_r, opac_r, shs_r, valid_r,
@@ -286,7 +380,7 @@ def _budget_bucket(want: int, min_budget: int, max_budget: int,
 def render_lod_auto(
     means3d, scales, quats, opacities, shs, nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-    target_size, boxes=None, pcache=None,
+    target_size, boxes=None, pcache=None, interp_table=None,
     *,
     sh_degree: int, width: int, height: int,
     min_budget: int = 4096,
@@ -338,7 +432,7 @@ def render_lod_auto(
         out, n = render_lod(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-            target_size, boxes, None, pcache, cut,
+            target_size, boxes, None, pcache, cut, interp_table,
             sh_degree=sh_degree, width=width, height=height, budget=budget,
             n_skybox=n_skybox,
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
@@ -355,6 +449,7 @@ def render_lod_stream(
     means3d, scales, quats, opacities, shs, nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
     target_size, state, boxes=None, pcache=None,
+    interp_table=None,
     *,
     sh_degree: int, width: int, height: int,
     min_budget: int = 4096,
@@ -417,15 +512,31 @@ def render_lod_stream(
         state["shrink"] = 0
 
     budget = state["budget"]
-    md = state["md"].get(budget, max(1 << 17, 4 * budget))
-    out, n_sel = render_lod(
-        means3d, scales, quats, opacities, shs, nodes, alive,
-        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-        target_size, boxes, None, pcache, cut,
-        sh_degree=sh_degree, width=width, height=height, budget=budget,
-        n_skybox=n_skybox,
-        cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
-        k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
+    # dense cuts skip compaction + feature gather entirely (the gather is
+    # latency-bound at ~42 ns/index): render masked over the whole tree.
+    # "MASKED" stands in for the budget in the md-regulation state.
+    use_masked = interp_table is not None and budget * 4 > cap * headroom
+    if use_masked:
+        budget = "MASKED"
+        md = state["md"].get(budget, max(1 << 17, cap))
+        out, n_sel = render_lod_masked(
+            means3d, scales, quats, opacities, shs, nodes, alive,
+            world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+            target_size, boxes, pcache, cut, interp_table,
+            sh_degree=sh_degree, width=width, height=height,
+            n_skybox=n_skybox,
+            cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
+            k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
+    else:
+        md = state["md"].get(budget, max(1 << 17, 4 * budget))
+        out, n_sel = render_lod(
+            means3d, scales, quats, opacities, shs, nodes, alive,
+            world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+            target_size, boxes, None, pcache, cut, interp_table,
+            sh_degree=sh_degree, width=width, height=height, budget=budget,
+            n_skybox=n_skybox,
+            cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
+            k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
 
     # start the D2H copies NOW (non-blocking): a blocking scalar fetch over
     # a remote-dispatch link flushes the whole queue (~30-55 ms measured);

@@ -68,6 +68,9 @@ def main():
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
     pcache = jax.block_until_ready(cut_mod.build_parent_cache(
         nodes, pos, jnp.max(scale.T, axis=0)))
+    itab = jax.block_until_ready(cut_mod.build_interp_table(
+        dict(means3d=pos, scales=scale, quats=quat, opacities=op, shs=sh),
+        nodes))
 
     for tau in (0.0, 3.0, 6.0, 15.0):
         target = float(render_mod.tau_to_threshold(tau, float(cam.tan_fovx),
@@ -144,7 +147,8 @@ def main():
                 pos, scale, quat, op, sh, nodes, alive,
                 ci.world_view, ci.full_proj, ci.campos, ci.tan_fovx,
                 ci.tan_fovy, jnp.zeros(3), max(target, 1e-9), st,
-                pcache=pcache, sh_degree=0, width=width, height=height,
+                pcache=pcache, interp_table=itab,
+                sh_degree=0, width=width, height=height,
                 cfg=cfg, k_max=512, use_frustum=False)
             return out.image
 

@@ -281,3 +281,51 @@ def test_render_lod_precomputed_cut_and_stream_equivalence():
     assert "pending" in st and st["md"] is not None
     np.testing.assert_allclose(np.asarray(out_s.image),
                                np.asarray(ref.image), atol=1e-6)
+
+
+def test_interp_table_and_masked_render_equivalence():
+    """interpolate_from_table == interpolate_with_parents bit-for-bit, and
+    render_lod_masked matches render_lod on the same cut."""
+    n = 48
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    scales = (0.03 + 0.04 * rng.random((n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    ops = rng.uniform(0.4, 0.9, n).astype(np.float32)
+    shs = rng.random((n, 1, 3)).astype(np.float32) - 0.5
+
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    m = h.nodes.shape[0]
+    nodes = jnp.asarray(h.nodes)
+    params = dict(means3d=jnp.asarray(h.pos), scales=jnp.asarray(h.scale),
+                  quats=jnp.asarray(h.quat),
+                  opacities=jnp.asarray(np.clip(h.opacity, 0, 1)),
+                  shs=jnp.asarray(h.sh))
+    table = hc.build_interp_table(params, nodes)
+
+    idx = jnp.asarray(rng.integers(0, m, 32).astype(np.int32))
+    ts = jnp.asarray(rng.random(32).astype(np.float32))
+    from hlod_gaussians_tpu.models.gaussians import NODE_PARENT
+    parent = jnp.clip(nodes[idx, NODE_PARENT], 0, m - 1)
+    ref = hc.interpolate_with_parents(params, idx, parent, ts)
+    got = hc.interpolate_from_table(table, idx, ts)
+    for key in ref:
+        np.testing.assert_array_equal(np.asarray(got[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+
+    cam = cam_mod.make_camera(np.eye(3), np.zeros(3), 0.8, 0.8, 64, 64)
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=4096)
+    args = (params["means3d"], params["scales"], params["quats"],
+            params["opacities"], params["shs"], nodes, jnp.ones(m, bool),
+            cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy, jnp.zeros(3), 0.01)
+    kw = dict(sh_degree=0, width=64, height=64, cfg=cfg, k_max=128,
+              use_frustum=False)
+    ref_r, n_ref = render_mod.render_lod(*args, budget=m, **kw)
+    got_r, n_got = render_mod.render_lod_masked(
+        *args, None, None, None, table, **kw)
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(np.asarray(got_r.image),
+                               np.asarray(ref_r.image), atol=2e-5)
