@@ -81,8 +81,13 @@ def _expand_bwd(res, egrads):
     abins, n = res
     cap = egrads.shape[1]
     md = abins.gen_to_slot.shape[0]
+    # NOTE: only rows 0:10 carry real gradients, but every minor-axis
+    # gather needs a multiple-of-8 row count to stay on the fast path
+    # (a [10, md] gather scalarizes: measured 1.1 s) — so the reduction
+    # keeps all 16 rows
+    ng = 16
     # kernel gradients -> generation order (contiguous per sorted Gaussian)
-    ggen = egrads[:, jnp.clip(abins.gen_to_slot, 0, cap - 1)]   # [16, md]
+    ggen = egrads[:ng, jnp.clip(abins.gen_to_slot, 0, cap - 1)]  # [16, md]
     ggen = jnp.where(abins.gen_valid[None, :], ggen, 0.0)
     cs = jnp.cumsum(ggen, axis=1)
     # per-sorted-Gaussian segment sums by boundary differences
@@ -92,8 +97,13 @@ def _expand_bwd(res, egrads):
     lo = jnp.clip(off - 1, 0, md - 1)
     seg = cs[:, end] - jnp.where((off > 0)[None, :], cs[:, lo], 0.0)
     seg = jnp.where((cnt > 0)[None, :], seg, 0.0)               # [16, N]
-    # un-permute: row g of `seg` is the Gaussian abins.order[g]
-    gfeats = jnp.zeros_like(seg).at[:, abins.order].set(seg)
+    # un-permute seg (row g belongs to Gaussian order[g]) by GATHER through
+    # the inverse permutation (built with a 1-key sort — an int scatter
+    # scalarizes); multi-row minor-axis scatters are 5-10x a gather (see
+    # ops/binning.py layout notes)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, inv_order = jax.lax.sort((abins.order, iota), num_keys=1)
+    gfeats = jax.lax.optimization_barrier(seg[:, inv_order])
     z = jax.tree_util.tree_map(
         lambda x: np.zeros(x.shape, jax.dtypes.float0), abins)
     return gfeats, z
