@@ -85,7 +85,7 @@ def main():
 
     @jax.jit
     def align(bins):
-        return align_bins(bins, num_tiles, 128)
+        return align_bins(bins, num_tiles, rp.CHUNK)
 
     ms, ab = timeit(align, bins)
     cap = ab.entry_gid.shape[0]
@@ -96,7 +96,7 @@ def main():
         bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
                              width, height, TW, TH, MD,
                              ext=proj.ext, reff2=proj.reff2)
-        return align_bins(bins, num_tiles, 128)
+        return align_bins(bins, num_tiles, rp.CHUNK)
 
     ms, _ = timeit(bin_align, proj)
     print(f"bin+align fused: {ms:7.2f} ms", flush=True)
