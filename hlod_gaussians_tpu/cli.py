@@ -121,9 +121,15 @@ def cmd_viewer(args):
     # static tree per session: one parent gather, gather-free per-frame cuts
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
     pcache = cut_mod.build_parent_cache(state.nodes, act.means3d, max_scale)
+    # static child+parent feature table: per-frame interpolation is one
+    # wide gather (no parent lookup, no sign fix)
+    itab = cut_mod.build_interp_table(
+        dict(means3d=act.means3d, scales=act.scales, quats=act.quats,
+             opacities=act.opacities, shs=act.shs), state.nodes)
 
     # viewer slider state (reference hierarchy_viewer.py:220-247)
     frozen_vp = [None]
+    pending_count = [None]     # one-frame-lagged active-node count
 
     # false-color variants of the SH DC band: per-subtree hash coloring
     # (render_SPTs), camera-distance and size ramps
@@ -156,19 +162,28 @@ def cmd_viewer(args):
         cut_vp = jnp.asarray(frozen_vp[0] if frozen_vp[0] is not None
                              else cam.campos.astype(np.float32))
         # a few split/collapse passes per frame: the cut tracks the camera
-        # incrementally instead of being recomputed from scratch
-        for _ in range(4):
+        # incrementally instead of being recomputed from scratch. No host
+        # sync inside the frame — convergence is spread across frames (the
+        # whole point of incremental maintenance), and the budget
+        # controller is fed the PREVIOUS frame's count (fetched while this
+        # frame's work occupies the device).
+        for _ in range(2):
             active, n_s, n_c = maint.incremental_cut_step(
                 state.nodes, act.means3d, max_scale, state.alive, active,
                 cut_vp, max(target, 1e-9))
-            if int(n_s) + int(n_c) == 0:
-                break
-        target = ctrl.update(int(jnp.sum(active)))
+        n_active = jnp.sum(active)
+        n_active.copy_to_host_async()
+        prev_n = pending_count[0]
+        pending_count[0] = n_active
+        if prev_n is not None:
+            target = ctrl.update(int(prev_n))
 
         shs_r = act.shs
+        itab_r = itab
         if sliders.get("render_SPTs", 0) > 0:
             shs_r = jnp.concatenate(
                 [spt_shs, jnp.zeros_like(act.shs[:, 1:])], axis=1)
+            itab_r = None      # false-color mode: interp on the fly
 
         bw, bh = _res_bucket(cam.width, cam.height)
         sy = bh / cam.height
@@ -178,7 +193,8 @@ def cmd_viewer(args):
             jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
             jnp.asarray(cam.campos.astype(np.float32)),
             jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
-            jnp.zeros(3), max(target, 1e-9), None, active, pcache,
+            jnp.zeros(3), max(target, 1e-9), None, active, pcache, None,
+            itab_r,
             sh_degree=state.sh_degree, width=bw, height=bh,
             budget=budget, n_skybox=state.n_skybox, cfg=cfg)
         img = np.asarray(jnp.clip(out.image, 0, 1))
