@@ -39,6 +39,9 @@ class RenderResult(NamedTuple):
     radii: jnp.ndarray        # [N] int32 — screen-space radius (0 = culled)
     visible: jnp.ndarray      # [N] bool — survived culling (radii > 0)
     truncated: jnp.ndarray    # scalar bool — a tile exceeded its entry budget
+    n_dup: jnp.ndarray        # scalar int32 — dup entries this frame needed
+                              # (== binning num_candidates; capped at max_dup
+                              # when truncated) — drives capacity regulation
 
 
 @functools.partial(
@@ -124,7 +127,8 @@ def render_arrays(
     return RenderResult(
         image=out.image, invdepth=out.invdepth, final_t=out.final_t,
         n_contrib=out.n_contrib, seen=out.seen, radii=proj.radius,
-        visible=proj.valid, truncated=out.truncated)
+        visible=proj.valid, truncated=out.truncated,
+        n_dup=bins.num_candidates)
 
 
 def apply_exposure(image: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
@@ -518,7 +522,10 @@ def render_lod_stream(
     use_masked = interp_table is not None and budget * 4 > cap * headroom
     if use_masked:
         budget = "MASKED"
-        md = state["md"].get(budget, max(1 << 17, cap))
+        # undershoot-biased initial capacity: the n_dup feedback grows it
+        # to the right bucket in <=2 frames, while an overshoot would stay
+        # forever (md is a monotonic high-water per bucket)
+        md = state["md"].get(budget, max(1 << 17, cap // 2))
         out, n_sel = render_lod_masked(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
@@ -528,7 +535,7 @@ def render_lod_stream(
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
             k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
     else:
-        md = state["md"].get(budget, max(1 << 17, 4 * budget))
+        md = state["md"].get(budget, max(1 << 17, 2 * budget))
         out, n_sel = render_lod(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
@@ -543,16 +550,26 @@ def render_lod_stream(
     # with the copy in flight the next frame's fetch is a local read
     n_sel.copy_to_host_async()
     out.truncated.copy_to_host_async()
+    out.n_dup.copy_to_host_async()
 
     # resolve the PREVIOUS frame's feedback — its device work completed
     # while this frame was being enqueued, so these host reads overlap the
     # current frame's device compute instead of serializing with it
     prev = state.pop("pending", None)
     if prev is not None:
-        p_n, p_trunc, p_budget, p_md = prev
+        p_n, p_trunc, p_dup, p_budget, p_md = prev
         p_n = int(p_n)
-        if bool(p_trunc) and p_md < cfg.max_dup:
-            state["md"][p_budget] = min(p_md * 2, cfg.max_dup)
+        # binning/align/blend all pay O(max_dup), so the capacity should
+        # hug the OBSERVED entry demand (n_dup; exact when not truncated,
+        # == p_md when truncated so the x1.25 margin still grows it).
+        # Monotonic high-water per bucket: every md value is a fresh
+        # compile, so boundary jitter must never flip the bucket back.
+        want_md = _budget_bucket(int(int(p_dup) * 1.0625) + 1, 1 << 17,
+                                 cfg.max_dup, cfg.max_dup)
+        if bool(p_trunc):
+            want_md = max(want_md, min(p_md * 2, cfg.max_dup))
+        if want_md > p_md:
+            state["md"][p_budget] = want_md
         want = bucket_for(p_n)
         if want > state["budget"]:
             state["budget"] = want
@@ -564,7 +581,7 @@ def render_lod_stream(
                 state["shrink"] = 0
         else:
             state["shrink"] = 0
-    state["pending"] = (n_sel, out.truncated, budget, md)
+    state["pending"] = (n_sel, out.truncated, out.n_dup, budget, md)
     return out, n_sel
 
 
