@@ -56,13 +56,19 @@ def main():
     mesh = dist.make_global_mesh()          # (nproc*ndev, 1)
     n_data = mesh.shape["data"]
 
-    width = height = 32
-    cfg = RasterizerConfig(tile_w=16, tile_h=8, max_dup=1 << 12)
+    # workload sized so per-view compute dominates per-step dispatch and
+    # collective overhead (64 gaussians at 32^2 measured pure overhead:
+    # every step was ~5 ms of launch + Gloo latency regardless of devices)
+    width = height = 128
+    cfg = RasterizerConfig(tile_w=16, tile_h=8, max_dup=1 << 15)
     rng = np.random.default_rng(0)
-    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    n_pts = 4096
+    pts = rng.normal(size=(n_pts, 3)).astype(np.float32)
     pts[:, 2] += 4.0
-    state = gm.create_from_points(pts, rng.random((64, 3)).astype(np.float32),
-                                  capacity=128, sh_degree=1, opacity_init=0.7)
+    state = gm.create_from_points(pts,
+                                  rng.random((n_pts, 3)).astype(np.float32),
+                                  capacity=n_pts, sh_degree=1,
+                                  opacity_init=0.7)
     cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.9, width, height)
 
     ts = flat.init_flat_train(state)

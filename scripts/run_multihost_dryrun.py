@@ -1,12 +1,16 @@
 """Launch the multi-process CPU dry run and record scaling efficiency.
 
-All virtual devices share one physical CPU, so classic weak scaling is
-meaningless here (N x the work on the same silicon). Instead both runs
-process the SAME global batch of 8 views — baseline on 1 process x 1
-device, multi on 2 processes x 4 devices — so efficiency = t_base/t_multi
-measures the overhead the distributed program adds (collectives, Gloo
-cross-process traffic, per-device dispatch). On real multi-host TPU the
-same script measures true scaling. Writes MULTIHOST_r02.json.
+All virtual devices share one physical CPU, so both CORES and WORK must
+be controlled for the efficiency number to mean anything:
+
+* baseline: 1 process x 1 device x 8 views, pinned to 1 core;
+* multi:    2 processes x 2 devices x 2 views (same global batch of 8),
+            each process pinned to 2 cores (4 cores total).
+
+equal_work_efficiency = t_base / (4 * t_multi) — the fraction of ideal
+4x speedup the distributed program achieves over Gloo collectives +
+per-device dispatch. On real multi-host TPU the same script measures
+true scaling. Writes MULTIHOST_r02.json.
 """
 
 import json
@@ -18,12 +22,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "scripts", "multihost_dryrun.py")
 
 
-def run(nproc, ndev, port, out_json="", views_per_dev=1):
+def run(nproc, ndev, port, out_json="", views_per_dev=1, cores_per_proc=0):
     procs = []
     for pid in range(nproc):
         args = [sys.executable, SCRIPT, str(pid), str(nproc),
                 f"127.0.0.1:{port}", str(ndev), out_json if pid == 0 else "",
                 str(views_per_dev)]
+        if cores_per_proc:
+            lo = pid * cores_per_proc
+            cores = ",".join(str(c) for c in range(lo, lo + cores_per_proc))
+            args = ["taskset", "-c", cores] + args
         procs.append(subprocess.Popen(
             args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outs = [p.communicate(timeout=900)[0].decode() for p in procs]
@@ -37,15 +45,15 @@ def run(nproc, ndev, port, out_json="", views_per_dev=1):
 def main():
     base_json = "/tmp/mh_base.json"
     multi_json = "/tmp/mh_multi.json"
-    print("baseline 1 proc x 1 dev x 8 views ...", flush=True)
-    run(1, 1, 29541, base_json, views_per_dev=8)
-    print("multi 2 procs x 4 devs x 1 view ...", flush=True)
-    run(2, 4, 29542, multi_json, views_per_dev=1)
+    print("baseline 1 proc x 1 dev x 8 views (1 core) ...", flush=True)
+    run(1, 1, 29541, base_json, views_per_dev=8, cores_per_proc=1)
+    print("multi 2 procs x 2 devs x 2 views (2 cores each) ...", flush=True)
+    run(2, 2, 29542, multi_json, views_per_dev=2, cores_per_proc=2)
 
     base = json.load(open(base_json))
     multi = json.load(open(multi_json))
     assert base["global_batch"] == multi["global_batch"], (base, multi)
-    eff = base["dp_step_ms"] / multi["dp_step_ms"]
+    eff = base["dp_step_ms"] / (4.0 * multi["dp_step_ms"])
     result = dict(ok=True,
                   baseline=base, multi=multi,
                   equal_work_efficiency=round(eff, 3))
