@@ -465,6 +465,8 @@ def render_lod_stream(
     use_frustum: bool = True,
     headroom: float = 1.125,
     shrink_patience: int = 3,
+    md_floor: int = 1 << 17,
+    masked_crossover: float = 4.0,
 ):
     """Viewer streaming render: budget/capacity regulation with ONE-FRAME
     LAG, so no host<->device round trip sits between frame dispatches.
@@ -519,13 +521,14 @@ def render_lod_stream(
     # dense cuts skip compaction + feature gather entirely (the gather is
     # latency-bound at ~42 ns/index): render masked over the whole tree.
     # "MASKED" stands in for the budget in the md-regulation state.
-    use_masked = interp_table is not None and budget * 4 > cap * headroom
+    use_masked = (interp_table is not None
+                  and budget * masked_crossover > cap * headroom)
     if use_masked:
         budget = "MASKED"
         # undershoot-biased initial capacity: the n_dup feedback grows it
         # to the right bucket in <=2 frames, while an overshoot would stay
         # forever (md is a monotonic high-water per bucket)
-        md = state["md"].get(budget, max(1 << 17, cap // 2))
+        md = state["md"].get(budget, max(md_floor, cap // 2))
         out, n_sel = render_lod_masked(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
@@ -535,7 +538,7 @@ def render_lod_stream(
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
             k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
     else:
-        md = state["md"].get(budget, max(1 << 17, 2 * budget))
+        md = state["md"].get(budget, max(md_floor, 2 * budget))
         out, n_sel = render_lod(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
@@ -564,7 +567,7 @@ def render_lod_stream(
         # == p_md when truncated so the x1.25 margin still grows it).
         # Monotonic high-water per bucket: every md value is a fresh
         # compile, so boundary jitter must never flip the bucket back.
-        want_md = _budget_bucket(int(int(p_dup) * 1.0625) + 1, 1 << 17,
+        want_md = _budget_bucket(int(int(p_dup) * 1.0625) + 1, md_floor,
                                  cfg.max_dup, cfg.max_dup)
         if bool(p_trunc):
             want_md = max(want_md, min(p_md * 2, cfg.max_dup))

@@ -329,3 +329,71 @@ def test_interp_table_and_masked_render_equivalence():
     assert int(n_got) == int(n_ref)
     np.testing.assert_allclose(np.asarray(got_r.image),
                                np.asarray(ref_r.image), atol=2e-5)
+
+
+def _stream_scene(n=48, seed=13, gscale=0.05):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    scales = np.full((n, 3), gscale, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    ops = np.full((n,), 0.8, np.float32)
+    shs = rng.random((n, 1, 3)).astype(np.float32) - 0.5
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    m = h.nodes.shape[0]
+    params = dict(means3d=jnp.asarray(h.pos), scales=jnp.asarray(h.scale),
+                  quats=jnp.asarray(h.quat),
+                  opacities=jnp.asarray(np.clip(h.opacity, 0, 1)),
+                  shs=jnp.asarray(h.sh))
+    cam = cam_mod.make_camera(np.eye(3), np.zeros(3), 0.8, 0.8, 64, 64)
+    args = (params["means3d"], params["scales"], params["quats"],
+            params["opacities"], params["shs"], jnp.asarray(h.nodes),
+            jnp.ones(m, bool), cam.world_view, cam.full_proj, cam.campos,
+            cam.tan_fovx, cam.tan_fovy, jnp.zeros(3))
+    return h, m, params, args
+
+
+def test_stream_md_regulation_recovers_from_truncation():
+    """A tiny md_floor forces truncation; the n_dup feedback must grow the
+    capacity bucket until frames stop truncating, and never shrink it."""
+    # big gaussians: every node touches many tiles, so the dup demand far
+    # exceeds the initial capacity guess and truncation must occur
+    h, m, params, args = _stream_scene(gscale=0.45)
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=8192)
+    kw = dict(sh_degree=0, width=64, height=64, cfg=cfg, k_max=128,
+              use_frustum=False, min_budget=64, md_floor=128,
+              masked_crossover=0.0)   # force the budgeted gather path
+    st = {}
+    truncs = []
+    for _ in range(8):
+        out, n_sel = render_mod.render_lod_stream(*args, 0.01, st, **kw)
+        truncs.append(bool(np.asarray(out.truncated)))
+    assert truncs[-1] is False, truncs
+    mds = st["md"]
+    b = st["budget"]
+    assert mds[b] > 128            # grew from the floor
+    # rendering again keeps the settled bucket (monotonic, no flapping)
+    settled = dict(mds)
+    for _ in range(3):
+        out, _ = render_mod.render_lod_stream(*args, 0.01, st, **kw)
+    assert st["md"] == settled
+    assert not bool(np.asarray(out.truncated))
+
+
+def test_stream_masked_crossover_paths_match():
+    """Forcing the masked path and forcing the budgeted path must render
+    the same image through the stream."""
+    h, m, params, args = _stream_scene()
+    table = hc.build_interp_table(params, jnp.asarray(h.nodes))
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=8192)
+    kw = dict(sh_degree=0, width=64, height=64, cfg=cfg, k_max=128,
+              use_frustum=False, min_budget=64, interp_table=table)
+    st_m, st_b = {}, {}
+    for _ in range(3):
+        out_m, n_m = render_mod.render_lod_stream(
+            *args, 0.01, st_m, masked_crossover=1e9, **kw)
+        out_b, n_b = render_mod.render_lod_stream(
+            *args, 0.01, st_b, masked_crossover=0.0, **kw)
+    assert int(n_m) == int(n_b)
+    np.testing.assert_allclose(np.asarray(out_m.image),
+                               np.asarray(out_b.image), atol=2e-5)
