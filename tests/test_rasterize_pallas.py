@@ -287,3 +287,53 @@ def test_pix256_tile_parity():
     g_ref = np.asarray(jax.grad(loss_ref)(proj.opacity))
     scale = np.abs(g_ref).max() + 1e-12
     np.testing.assert_allclose(g_pal / scale, g_ref / scale, atol=3e-4)
+
+
+def test_tile_32x32_parity():
+    """The PRODUCTION bench/LOD tile shape (32x32, 1024 px/tile, tpb=4
+    batching) vs the scan reference: image + opacity/xy gradients.
+
+    W=64, H=48 gives a 2x2 grid with ragged right/bottom tiles, exercising
+    the inside-mask and the tpb tile-padding path in one go."""
+    xyz, scales, quats, ops, colors, cam = make_scene(n=96, seed=5)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.full((3,), 0.25)
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, 32, 32, MAX_DUP)
+    out_ref = rasterize_scan(
+        bins, proj.xy, proj.conic, proj.opacity, color, invd, bg, None, None,
+        width=W, height=H, tile_w=32, tile_h=32, k_max=256)
+    out_pal = rasterize_pallas_full(
+        proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+        proj.opacity, color, invd, bg,
+        width=W, height=H, tile_w=32, tile_h=32, max_dup=MAX_DUP,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pal.image),
+                               np.asarray(out_ref.image), atol=2e-5)
+
+    def loss_pal(op, xy):
+        out = rasterize_pallas_full(
+            xy, proj.depth, proj.radius, proj.valid, proj.conic, op,
+            color, invd, bg, width=W, height=H, tile_w=32, tile_h=32,
+            max_dup=MAX_DUP, interpret=True)
+        return (out.image * jnp.cos(jnp.arange(out.image.size)
+                                    .reshape(out.image.shape))).sum()
+
+    def loss_ref(op, xy):
+        b = bin_gaussians(xy, proj.depth, proj.radius, proj.valid,
+                          W, H, 32, 32, MAX_DUP)
+        out = rasterize_scan(
+            b, xy, proj.conic, op, color, invd, bg, None, None,
+            width=W, height=H, tile_w=32, tile_h=32, k_max=256)
+        return (out.image * jnp.cos(jnp.arange(out.image.size)
+                                    .reshape(out.image.shape))).sum()
+
+    gp_op, gp_xy = jax.grad(loss_pal, argnums=(0, 1))(proj.opacity, proj.xy)
+    gr_op, gr_xy = jax.grad(loss_ref, argnums=(0, 1))(proj.opacity, proj.xy)
+    for gp, gr in ((gp_op, gr_op), (gp_xy, gr_xy)):
+        s = np.abs(np.asarray(gr)).max() + 1e-12
+        np.testing.assert_allclose(np.asarray(gp) / s, np.asarray(gr) / s,
+                                   atol=3e-4)
