@@ -148,7 +148,10 @@ def rasterize_tiles(
         ik_col = jnp.ones((n,), jnp.float32)
 
     feats = jnp.stack([
-        xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+        xy[:, 0], xy[:, 1],
+        # pre-scaled quadratic coefficients: power = s0 dx^2 + s1 dxdy
+        # + s2 dy^2 inside the kernels; dconic chains through this scaling
+        -0.5 * conic[:, 0], -conic[:, 1], -0.5 * conic[:, 2],
         opacity, color[:, 0], color[:, 1], color[:, 2], invdepth_g,
         t_col, ik_col,
         jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)),

@@ -28,8 +28,10 @@ instead of translated:
   (Compact unaligned ranges are impossible: Mosaic requires minor-axis DMA
   offsets divisible by the 128-lane tiling.)
 * Per-entry inputs are pre-gathered by XLA into ``entry_data
-  [16, cap]`` (x, y, cxx, cxy, cyy, opacity, r, g, b, invdepth, t_lod,
-  inv_kids, pad...); gradient flow back to the per-Gaussian arrays is a
+  [16, cap]`` (x, y, -cxx/2, -cxy, -cyy/2, opacity, r, g, b, invdepth,
+  t_lod, inv_kids, pad...) — the conic rows carry the PRE-SCALED quadratic
+  coefficients so the per-pixel `power` is a pure fma chain (the scaling's
+  gradient chain rides the feature-stack autodiff); gradient flow back to the per-Gaussian arrays is a
   hand-built generation-order segment reduction (ops/rasterize.py).
 * The pixel count per tile (tile_w*tile_h) is a parameter: 256-pixel (16x16)
   tiles halve the sequential program count and the dup-entry total versus
@@ -117,6 +119,24 @@ def _mm_mask(mask_bf, b):
     return (dot(b0f.astype(jnp.bfloat16)) + dot(b1)) + dot(b2)
 
 
+def _mm_split22(a, b):
+    """``a @ b`` via a 2x2 Dekker split dropping the tail x tail term:
+    3 single-pass bf16 matmuls, relative error ~2^-17 per term (vs 2^-24
+    for HIGHEST's 6 passes). Used ONLY for the forward color accumulation,
+    where every term is non-negative so the absolute error of the sum is
+    bounded by |result| * 2^-17 ~ 8e-6 — inside the golden/parity
+    tolerances. NOT safe for cancelling sums (use _mm / _mm_mask there)."""
+    a0 = a.astype(jnp.bfloat16)
+    a1 = (a - a0.astype(jnp.float32)).astype(jnp.bfloat16)
+    b0 = b.astype(jnp.bfloat16)
+    b1 = (b - b0.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    return dot(a0, b0) + (dot(a0, b1) + dot(a1, b0))
+
+
 def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod,
                  inside=None):
     """Shared forward math: per-(entry, pixel) effective alpha + masks.
@@ -127,12 +147,13 @@ def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod,
     """
     col = lambda i: chunk[:, i:i + 1]                        # [CHUNK,1]
     gx, gy = col(_EX), col(_EY)
-    cxx, cxy, cyy = col(_ECXX), col(_ECXY), col(_ECYY)
+    # s0 = -cxx/2, s1 = -cxy, s2 = -cyy/2 (pre-scaled at the feats stack)
+    s0, s1, s2 = col(_ECXX), col(_ECXY), col(_ECYY)
     op = col(_EOP)
 
     dx = gx - pxf                                            # [CHUNK, pix]
     dy = gy - pyf
-    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    power = dx * (s0 * dx + s1 * dy) + (s2 * dy) * dy
     G = jnp.exp(power)
     opG = op * G
     my_alpha = jnp.minimum(0.99, opG)
@@ -153,7 +174,7 @@ def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod,
     if inside is not None:
         pre = pre & inside
     aux = dict(dx=dx, dy=dy, G=G, opG=opG, power=power, k=k,
-               dalpha_dmy=dalpha_dmy, cxx=cxx, cxy=cxy, cyy=cyy)
+               dalpha_dmy=dalpha_dmy, s0=s0, s1=s1, s2=s2)
     return jnp.where(pre, alpha, 0.0), pre, aux
 
 
@@ -254,7 +275,7 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
             # matmul; the [4, CHUNK] color rows come straight from the
             # untransposed DMA buffer
             c4 = chunk_vmem[slot][_ER:_EID + 1]             # [4, CHUNK]
-            acc4 += _mm(c4, w)
+            acc4 += _mm_split22(c4, w)
 
             lg_applied = jnp.where(apply, lg, 0.0)
             logT = logT + jnp.sum(lg_applied, axis=0, keepdims=True)
@@ -545,15 +566,19 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         # dop: dpower = op * G * dmy and dop_px = G * dmy share the clip
         # mask, so dop = s0 / op exactly (safe where op == 0 -> s0 == 0)
         dop = s0 / jnp.maximum(col(_EOP), 1e-30)
-        dcxx = -0.5 * jnp.sum(dx * u, axis=1, keepdims=True)
-        dcxy = -jnp.sum(dy * u, axis=1, keepdims=True)
-        dcyy = -0.5 * jnp.sum(dy * v, axis=1, keepdims=True)
-        dgx = -(aux["cxx"] * su + aux["cxy"] * sv)
-        dgy = -(aux["cyy"] * sv + aux["cxy"] * su)
+        # grads w.r.t. the PRE-SCALED coefficients (the feature-stack
+        # scaling maps them back to dconic outside the kernel)
+        ds0 = jnp.sum(dx * u, axis=1, keepdims=True)
+        ds1 = jnp.sum(dy * u, axis=1, keepdims=True)
+        ds2 = jnp.sum(dy * v, axis=1, keepdims=True)
+        # d(power)/d(gx) = 2 s0 dx + s1 dy ; d/d(gy) = 2 s2 dy + s1 dx
+        two = jnp.float32(2.0)
+        dgx = two * aux["s0"] * su + aux["s1"] * sv
+        dgy = two * aux["s2"] * sv + aux["s1"] * su
 
         zeros = jnp.zeros((CHUNK, N_GRAD_COLS - 10), jnp.float32)
         g16 = jnp.concatenate(
-            [dgx, dgy, dcxx, dcxy, dcyy, dop, dcr, dcg, dcb, dcd, zeros],
+            [dgx, dgy, ds0, ds1, ds2, dop, dcr, dcg, dcb, dcd, zeros],
             axis=1)
 
         # double-buffered write-out: wait for the slot's previous DMA, then

@@ -104,8 +104,9 @@ def main():
     @jax.jit
     def feats_fn(proj, color, invd):
         return jnp.stack([
-            proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0], proj.conic[:, 1],
-            proj.conic[:, 2], proj.opacity, color[:, 0], color[:, 1],
+            proj.xy[:, 0], proj.xy[:, 1],
+            -0.5 * proj.conic[:, 0], -proj.conic[:, 1],
+            -0.5 * proj.conic[:, 2], proj.opacity, color[:, 0], color[:, 1],
             color[:, 2], invd, jnp.ones((n,)), jnp.ones((n,)),
             jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)),
             jnp.zeros((n,))], axis=0)

@@ -69,8 +69,9 @@ def main():
         ab = align_bins(bins, num_tiles, 128)
         n = proj.xy.shape[0]
         feats = jnp.stack([
-            proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0], proj.conic[:, 1],
-            proj.conic[:, 2], proj.opacity, color[:, 0], color[:, 1],
+            proj.xy[:, 0], proj.xy[:, 1],
+            -0.5 * proj.conic[:, 0], -proj.conic[:, 1],
+            -0.5 * proj.conic[:, 2], proj.opacity, color[:, 0], color[:, 1],
             color[:, 2], 1.0 / jnp.maximum(proj.depth, 1e-6),
             jnp.ones((n,)), jnp.ones((n,)),
             jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)),
