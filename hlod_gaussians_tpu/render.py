@@ -564,14 +564,14 @@ def render_lod_stream(
         p_n = int(p_n)
         # binning/align/blend all pay O(max_dup), so the capacity should
         # hug the OBSERVED entry demand (n_dup; exact when not truncated,
-        # == p_md when truncated so the x1.25 margin still grows it).
+        # == p_md when truncated so the margin still grows it).
         # Monotonic high-water per bucket: every md value is a fresh
         # compile, so boundary jitter must never flip the bucket back.
         want_md = _budget_bucket(int(int(p_dup) * 1.0625) + 1, md_floor,
                                  cfg.max_dup, cfg.max_dup)
         if bool(p_trunc):
             want_md = max(want_md, min(p_md * 2, cfg.max_dup))
-        if want_md > p_md:
+        if want_md > state["md"].get(p_budget, 0):
             state["md"][p_budget] = want_md
         want = bucket_for(p_n)
         if want > state["budget"]:
