@@ -239,7 +239,21 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
         dma(0, 0).start()
 
     def body(c, carry):
-        logT, acc4, n_contrib = carry
+        # TWO transmittance chains cross chunks (the sticky-early-stop
+        # subtlety, forward.cu:561-566):
+        #   logT_chain — includes EVERY pre entry's factor, applied or not.
+        #     The serial loop's sticky `done` falls out of it: the applied
+        #     set is exactly the prefix of pre entries before the first
+        #     t_eps crossing, and because factors are <= 1 the chain stays
+        #     below t_eps forever after that crossing — including across
+        #     chunk boundaries. (Carrying only the applied product would
+        #     let a small-alpha entry in a LATER chunk re-apply after a
+        #     crossing: T_applied never goes below t_eps.)
+        #   logT — applied-only product, the reference's T: feeds w and
+        #     the final_T output. Up to the first crossing the two chains
+        #     are equal, so log_before (= chain prefix) is the correct
+        #     render transmittance wherever apply is true.
+        logT, logT_chain, acc4, n_contrib = carry
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -253,10 +267,11 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
                 seen_dma(slot, c - 2).wait()
 
         # float-masked saturation vote (bool-select lowering is unsupported)
-        saturated = jnp.max(jnp.where(inside, logT, _LOG_EPS)) < jnp.log(t_eps)
+        saturated = jnp.max(
+            jnp.where(inside, logT_chain, _LOG_EPS)) < jnp.log(t_eps)
 
         def process(args):
-            logT, acc4, n_contrib = args
+            logT, logT_chain, acc4, n_contrib = args
             chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
             alpha, pre, aux = _chunk_alpha(
                 chunk, pxf, pyf, count, c * CHUNK,
@@ -264,9 +279,9 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
 
             lg = jnp.log1p(-alpha)                          # 0 where masked
             cum_ex = _mm_mask(tril, lg)                     # exclusive prefix
-            log_before = logT + cum_ex                      # [CHUNK, pix]
+            log_before = logT_chain + cum_ex                # [CHUNK, pix]
             log_incl = log_before + lg
-            # applied iff the inclusive product stays above t_eps
+            # applied iff the inclusive CHAIN product stays above t_eps
             # (pre => alpha >= alpha_min > 0)
             apply = pre & (log_incl >= jnp.log(t_eps))
 
@@ -279,6 +294,7 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
 
             lg_applied = jnp.where(apply, lg, 0.0)
             logT = logT + jnp.sum(lg_applied, axis=0, keepdims=True)
+            logT_chain = logT_chain + jnp.sum(lg, axis=0, keepdims=True)
 
             kk = aux["k"] + 1
             n_contrib = jnp.maximum(
@@ -287,7 +303,7 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
             if want_seen:
                 flag = jnp.max(jnp.where(apply, 1.0, 0.0), axis=1)  # [CHUNK]
                 seen_vmem[slot, 0] = flag
-            return logT, acc4, n_contrib
+            return logT, logT_chain, acc4, n_contrib
 
         def skip(args):
             if want_seen:
@@ -295,15 +311,15 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
             return args
 
         out = jax.lax.cond(saturated, skip, process,
-                           (logT, acc4, n_contrib))
+                           (logT, logT_chain, acc4, n_contrib))
         if want_seen:
             seen_dma(slot, c).start()
         return out
 
     pix_z = jnp.zeros((1, pix), jnp.float32)
-    init = (pix_z, jnp.zeros((4, pix), jnp.float32),
+    init = (pix_z, pix_z, jnp.zeros((4, pix), jnp.float32),
             jnp.zeros((1, pix), jnp.int32))
-    logT, acc4, n_contrib = jax.lax.fori_loop(
+    logT, logT_chain, acc4, n_contrib = jax.lax.fori_loop(
         0, n_chunks, body, init)
 
     if want_seen:

@@ -337,3 +337,68 @@ def test_tile_32x32_parity():
         s = np.abs(np.asarray(gr)).max() + 1e-12
         np.testing.assert_allclose(np.asarray(gp) / s, np.asarray(gr) / s,
                                    atol=3e-4)
+
+
+def test_early_stop_sticky_across_chunks():
+    """The t_eps early-stop is STICKY across 128-entry chunk boundaries.
+
+    ~300 gaussians stack on the same pixels, saturating transmittance
+    mid-list; the entries AFTER the crossing (2nd/3rd chunk) must never
+    re-apply (forward.cu:561-566's sticky `done`). The scan reference
+    implements the serial semantics; image + final_t + n_contrib and
+    opacity gradients must match."""
+    n = 300
+    rng = np.random.default_rng(7)
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 0] = rng.uniform(-0.02, 0.02, n)
+    xyz[:, 1] = rng.uniform(-0.02, 0.02, n)
+    xyz[:, 2] = np.linspace(3.0, 5.0, n)          # distinct depths
+    scales = np.full((n, 3), 0.08, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    # alpha ~0.07 per entry: T crosses 1e-4 after ~125 entries — right at
+    # the first chunk boundary — with ~175 small-alpha entries behind it
+    ops = np.full((n,), 0.07, np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, W, H)
+    proj = project(xyz, scales, quats, ops, cam)
+    assert int(jnp.sum(proj.valid)) == n
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.full((3,), 0.2)
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP)
+    out_ref = rasterize_scan(
+        bins, proj.xy, proj.conic, proj.opacity, color, invd, bg, None,
+        None, width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, k_max=512)
+    out_pal = rasterize_pallas_full(
+        proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+        proj.opacity, color, invd, bg,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, max_dup=MAX_DUP,
+        interpret=True)
+    # the scene must actually exercise a crossing beyond chunk 0
+    assert int(jnp.max(out_ref.n_contrib)) > 100
+    np.testing.assert_array_equal(np.asarray(out_pal.n_contrib),
+                                  np.asarray(out_ref.n_contrib))
+    np.testing.assert_allclose(np.asarray(out_pal.final_t),
+                               np.asarray(out_ref.final_t), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_pal.image),
+                               np.asarray(out_ref.image), atol=2e-5)
+
+    def loss_pal(op):
+        out = rasterize_pallas_full(
+            proj.xy, proj.depth, proj.radius, proj.valid, proj.conic, op,
+            color, invd, bg, width=W, height=H, tile_w=TILE_W,
+            tile_h=TILE_H, max_dup=MAX_DUP, interpret=True)
+        return out.image.sum()
+
+    def loss_ref(op):
+        out = rasterize_scan(
+            bins, proj.xy, proj.conic, op, color, invd, bg, None, None,
+            width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, k_max=512)
+        return out.image.sum()
+
+    g_pal = np.asarray(jax.grad(loss_pal)(proj.opacity))
+    g_ref = np.asarray(jax.grad(loss_ref)(proj.opacity))
+    s = np.abs(g_ref).max() + 1e-12
+    np.testing.assert_allclose(g_pal / s, g_ref / s, atol=3e-4)
