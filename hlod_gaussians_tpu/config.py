@@ -101,8 +101,6 @@ class RasterizerConfig:
     # Capacity of the duplicated (gaussian, tile) key list. Overflow is
     # detected and reported; increase for bigger scenes / resolutions.
     max_dup: int = 1 << 19
-    # Gaussians fetched per inner blending chunk in the Pallas kernel.
-    chunk: int = 256
     # Early-exit transmittance threshold (forward.cu:563).
     t_eps: float = 1e-4
     # Minimum alpha for a contribution (forward.cu:560).

@@ -141,6 +141,26 @@ def build_parent_cache_box(nodes, box_lo, box_hi, max_side) -> ParentCache:
         p_kids=g[7])
 
 
+
+def _ts_kids(has_parent, parent_size, size, target_size, p_kids):
+    """Interpolation weight + sibling count shared by both cut metrics
+    (computeTsIndexed runtime_switching.cu:588-637 and
+    computeTsIndexedDynamic :640-684 use the identical formula):
+    t = 1 if root or parent still oversized (> 2*target); else
+    t = max(1 - max(0, target-start)/diff, 0) with
+    start = max(parent/2, size), diff = parent - start."""
+    start = jnp.maximum(0.5 * parent_size, size)
+    diff = parent_size - start
+    tdiff = jnp.maximum(0.0, target_size - start)
+    t_inner = jnp.where(
+        diff <= 0, 1.0,
+        jnp.maximum(1.0 - tdiff / jnp.where(diff <= 0, 1.0, diff), 0.0))
+    ts = jnp.where(~has_parent | (parent_size > 2.0 * target_size), 1.0,
+                   t_inner)
+    kids = jnp.maximum(jnp.where(has_parent, p_kids, 1), 1).astype(jnp.int32)
+    return ts, kids
+
+
 @functools.partial(jax.jit, static_argnames=("use_frustum",))
 def expand_to_size_dynamic(
     nodes: jnp.ndarray,       # [C,6] int32
@@ -185,17 +205,7 @@ def expand_to_size_dynamic(
     sel = sel | (has_parent & (parent_size >= target_size) & (size < target_size))
     mask = mask & sel
 
-    # interpolation weight (computeTsIndexedDynamic)
-    start = jnp.maximum(0.5 * parent_size, size)
-    diff = parent_size - start
-    tdiff = jnp.maximum(0.0, target_size - start)
-    t_inner = jnp.where(diff <= 0, 1.0,
-                        jnp.maximum(1.0 - tdiff / jnp.where(diff <= 0, 1.0, diff),
-                                    0.0))
-    ts = jnp.where(~has_parent | (parent_size > 2.0 * target_size), 1.0, t_inner)
-
-    kids = jnp.where(has_parent, p_kids, 1)
-    kids = jnp.maximum(kids, 1).astype(jnp.int32)
+    ts, kids = _ts_kids(has_parent, parent_size, size, target_size, p_kids)
     return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
 
 
@@ -231,17 +241,12 @@ def expand_to_size_box(
     is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
     sel = (size >= target_size) & is_leaf
     sel = sel | (has_parent & (parent_size >= target_size) & (size < target_size))
-    mask = alive & sel
+    # depth >= 0 excludes non-tree rows (skybox/padding), matching the
+    # dynamic metric's guard — otherwise a loader that zero-fills node
+    # rows would double-render skybox rows (cut + explicit prepend)
+    mask = alive & sel & (nodes[:, NODE_DEPTH] >= 0)
 
-    start = jnp.maximum(0.5 * parent_size, size)
-    diff = parent_size - start
-    tdiff = jnp.maximum(0.0, target_size - start)
-    t_inner = jnp.where(diff <= 0, 1.0,
-                        jnp.maximum(1.0 - tdiff / jnp.where(diff <= 0, 1.0, diff),
-                                    0.0))
-    ts = jnp.where(~has_parent | (parent_size > 2.0 * target_size), 1.0, t_inner)
-    kids = jnp.where(has_parent, p_kids, 1)
-    kids = jnp.maximum(kids, 1).astype(jnp.int32)
+    ts, kids = _ts_kids(has_parent, parent_size, size, target_size, p_kids)
     return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
 
 

@@ -14,9 +14,14 @@ with far more expensive ops:
   per-Gaussian CONTIGUOUSLY (ops/binning.py), so the reduction becomes: map
   kernel gradients back to generation order (one wide gather via the
   `gen_to_slot` permutation), one cumulative sum, and per-Gaussian boundary
-  differences — ~3x faster, and exactly equal because every entry belongs
-  to one Gaussian. This replaces the CUDA backward's global atomics
-  (backward.cu:580-721) with deterministic segment sums.
+  differences — ~3x faster, and MATHEMATICALLY equal because every entry
+  belongs to one Gaussian. Numerically the boundary difference of the f32
+  running sum cancels to ~|prefix|*2^-24 absolute per segment (a late,
+  faint Gaussian atop a large signed prefix can lose relative precision —
+  below SGD noise in practice; a per-segment pairwise reduction is the
+  upgrade path if gradient drift ever shows). This replaces the CUDA
+  backward's global atomics (backward.cu:580-721), whose float atomics are
+  themselves order-nondeterministic, with deterministic segment sums.
 """
 
 from __future__ import annotations

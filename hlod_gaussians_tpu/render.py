@@ -146,6 +146,49 @@ def tau_to_threshold(tau, tan_fovx, width: int):
     return (2.0 * (tau + 0.5)) * tan_fovx / (0.5 * width)
 
 
+def _compute_cut(precomputed_cut, boxes, nodes, means3d, scales, alive,
+                 campos, world_view, target_size, pcache, use_frustum):
+    """The boxes-vs-dynamic cut dispatch shared by every LOD entry point
+    (render_lod / _masked / _auto / _stream must select with the SAME
+    rule or the paths silently diverge)."""
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+
+    if precomputed_cut is not None:
+        return precomputed_cut
+    if boxes is not None:
+        box_lo, box_hi, max_side = boxes
+        return cut_mod.expand_to_size_box(
+            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
+            pcache)
+    # camera forward axis in world space: third column of the world->view
+    # linear block (row-vector convention); [3,C]-transposed max is the
+    # lane-efficient reduce
+    zdir = world_view[:3, 2]
+    return cut_mod.expand_to_size_dynamic(
+        nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
+        target_size, pcache, use_frustum=use_frustum)
+
+
+def _prepend_skybox(n_skybox, alive, means3d, scales, quats, opacities, shs,
+                    interp, valid_tail, ts_tail, kids_tail):
+    """Skybox rows render uninterpolated ahead of the cut (reference
+    render_post prepends them, gaussian_renderer/__init__.py:341-358)."""
+    if n_skybox <= 0:
+        return (interp["means3d"], interp["scales"], interp["quats"],
+                interp["opacities"], interp["shs"], valid_tail, ts_tail,
+                kids_tail)
+    sky = jnp.arange(n_skybox, dtype=jnp.int32)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    return (cat(means3d[sky], interp["means3d"]),
+            cat(scales[sky], interp["scales"]),
+            cat(quats[sky], interp["quats"]),
+            cat(opacities[sky], interp["opacities"]),
+            cat(shs[sky], interp["shs"]),
+            cat(alive[sky], valid_tail),
+            cat(jnp.ones((n_skybox,)), ts_tail),
+            cat(jnp.ones((n_skybox,), jnp.int32), kids_tail))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sh_degree", "width", "height", "cfg", "k_max",
@@ -198,21 +241,9 @@ def render_lod(
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
     c = means3d.shape[0]
-    if precomputed_cut is not None:
-        cut = precomputed_cut
-    elif boxes is not None:
-        box_lo, box_hi, max_side = boxes
-        cut = cut_mod.expand_to_size_box(
-            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
-            pcache)
-    else:
-        # camera forward axis in world space: third column of the
-        # world->view linear block (row-vector convention)
-        zdir = world_view[:3, 2]
-        max_scale = jnp.max(scales.T, axis=0)   # lane-efficient [3,C] reduce
-        cut = cut_mod.expand_to_size_dynamic(
-            nodes, means3d, max_scale, alive, campos, zdir, target_size,
-            pcache, use_frustum=use_frustum)
+    cut = _compute_cut(precomputed_cut, boxes, nodes, means3d, scales,
+                       alive, campos, world_view, target_size, pcache,
+                       use_frustum)
 
     from hlod_gaussians_tpu.models.gaussians import NODE_DEPTH
     mask = cut.render_mask if cut_mask is None else \
@@ -252,22 +283,10 @@ def render_lod(
         interp = cut_mod.interpolate_with_parents(params, idx_c, parent,
                                                   ts_sel)
 
-    if n_skybox > 0:
-        sky = jnp.arange(n_skybox, dtype=jnp.int32)
-        def cat(a, b):
-            return jnp.concatenate([a, b], axis=0)
-        means_r = cat(means3d[sky], interp["means3d"])
-        scales_r = cat(scales[sky], interp["scales"])
-        quats_r = cat(quats[sky], interp["quats"])
-        opac_r = cat(opacities[sky], interp["opacities"])
-        shs_r = cat(shs[sky], interp["shs"])
-        valid_r = cat(alive[sky], sel_valid)
-        ts_r = cat(jnp.ones((n_skybox,)), ts_sel)
-        kids_r = cat(jnp.ones((n_skybox,), jnp.int32), kids_sel)
-    else:
-        means_r, scales_r, quats_r = interp["means3d"], interp["scales"], interp["quats"]
-        opac_r, shs_r, valid_r = interp["opacities"], interp["shs"], sel_valid
-        ts_r, kids_r = ts_sel, kids_sel
+    (means_r, scales_r, quats_r, opac_r, shs_r, valid_r, ts_r,
+     kids_r) = _prepend_skybox(n_skybox, alive, means3d, scales, quats,
+                               opacities, shs, interp, sel_valid, ts_sel,
+                               kids_sel)
 
     quats_r = quats_r / jnp.linalg.norm(quats_r, axis=-1, keepdims=True).clip(1e-12)
 
@@ -310,18 +329,9 @@ def render_lod_masked(
     stays cheaper for sparse cuts. Returns (RenderResult, n_selected)."""
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
-    if precomputed_cut is not None:
-        cut = precomputed_cut
-    elif boxes is not None:
-        box_lo, box_hi, max_side = boxes
-        cut = cut_mod.expand_to_size_box(
-            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
-            pcache)
-    else:
-        zdir = world_view[:3, 2]
-        cut = cut_mod.expand_to_size_dynamic(
-            nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
-            target_size, pcache, use_frustum=use_frustum)
+    cut = _compute_cut(precomputed_cut, boxes, nodes, means3d, scales,
+                       alive, campos, world_view, target_size, pcache,
+                       use_frustum)
 
     if interp_table is None:
         interp_table = cut_mod.build_interp_table(
@@ -334,22 +344,9 @@ def render_lod_masked(
     ts_r = jnp.where(mask, cut.ts, 1.0)
     kids_r = jnp.maximum(cut.kids, 1)
 
-    if n_skybox > 0:
-        sky = jnp.arange(n_skybox, dtype=jnp.int32)
-        def cat(a, b):
-            return jnp.concatenate([a, b], axis=0)
-        means_r = cat(means3d[sky], interp["means3d"])
-        scales_r = cat(scales[sky], interp["scales"])
-        quats_r = cat(quats[sky], interp["quats"])
-        opac_r = cat(opacities[sky], interp["opacities"])
-        shs_r = cat(shs[sky], interp["shs"])
-        valid_r = cat(alive[sky], mask)
-        ts_r = cat(jnp.ones((n_skybox,)), ts_r)
-        kids_r = cat(jnp.ones((n_skybox,), jnp.int32), kids_r)
-    else:
-        means_r, scales_r, quats_r = (interp["means3d"], interp["scales"],
-                                      interp["quats"])
-        opac_r, shs_r, valid_r = interp["opacities"], interp["shs"], mask
+    (means_r, scales_r, quats_r, opac_r, shs_r, valid_r, ts_r,
+     kids_r) = _prepend_skybox(n_skybox, alive, means3d, scales, quats,
+                               opacities, shs, interp, mask, ts_r, kids_r)
 
     quats_r = quats_r / jnp.linalg.norm(
         quats_r, axis=-1, keepdims=True).clip(1e-12)
@@ -402,10 +399,11 @@ def render_lod_auto(
     The static `budget` pads every downstream stage (interpolation,
     compaction, per-Gaussian preprocess), so a coarse tau paying a
     fine-tau budget wastes most of the frame. This computes the cut mask
-    first, rounds its count up to a power-of-two bucket (one compile per
-    bucket, cached), and reuses the mask via `cut_mask` so selection isn't
-    recomputed against a different rule. Costs one device->host sync per
-    frame — for evaluation/viewing, not the training loop.
+    first, rounds its count up to a ladder bucket (one compile per
+    bucket, cached), and passes the whole CutResult back in via
+    `precomputed_cut` so the in-jit expand is skipped. Costs one
+    device->host sync per frame — for evaluation/viewing, not the
+    training loop (use render_lod_stream for viewer loops).
 
     With ``auto_max_dup`` the binning capacity is also bucketed (4 entries
     per selected node, floor 2^17) and doubled until the frame is not
@@ -417,16 +415,8 @@ def render_lod_auto(
 
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
-    if boxes is not None:
-        box_lo, box_hi, max_side = boxes
-        cut = cut_mod.expand_to_size_box(
-            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
-            pcache)
-    else:
-        zdir = world_view[:3, 2]
-        cut = cut_mod.expand_to_size_dynamic(
-            nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
-            target_size, pcache, use_frustum=use_frustum)
+    cut = _compute_cut(None, boxes, nodes, means3d, scales, alive, campos,
+                       world_view, target_size, pcache, use_frustum)
     n_sel = int(jnp.sum(cut.render_mask))
     budget = _budget_bucket(n_sel, min_budget, max_budget, means3d.shape[0])
     md = max(1 << 17, 4 * budget) if auto_max_dup else cfg.max_dup
@@ -493,16 +483,8 @@ def render_lod_stream(
 
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
-    if boxes is not None:
-        box_lo, box_hi, max_side = boxes
-        cut = cut_mod.expand_to_size_box(
-            nodes, box_lo, box_hi, max_side, alive, campos, target_size,
-            pcache)
-    else:
-        zdir = world_view[:3, 2]
-        cut = cut_mod.expand_to_size_dynamic(
-            nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
-            target_size, pcache, use_frustum=use_frustum)
+    cut = _compute_cut(None, boxes, nodes, means3d, scales, alive, campos,
+                       world_view, target_size, pcache, use_frustum)
 
     cap = means3d.shape[0]
 
