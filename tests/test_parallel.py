@@ -166,3 +166,48 @@ def test_tile_parallel_matches_single_device():
         *args[:11], jnp.zeros(3), mesh, sh_degree=1, width=W, height=H,
         cfg=CFG, k_max=256)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
+
+def test_tile_parallel_lod_matches_masked():
+    """Sharded LOD frame (replicated cut + band-split blend) == the
+    single-device masked LOD render."""
+    from hlod_gaussians_tpu import render as render_mod
+    from hlod_gaussians_tpu.hierarchy import build as hb
+    from hlod_gaussians_tpu.hierarchy import cut as hc
+    from hlod_gaussians_tpu.parallel import tile_parallel as tp
+
+    n = 40
+    rng = np.random.default_rng(21)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    scales = np.full((n, 3), 0.05, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    ops = np.full((n,), 0.8, np.float32)
+    shs = rng.random((n, 1, 3)).astype(np.float32) - 0.5
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    m = h.nodes.shape[0]
+    cam = make_camera(np.eye(3), np.zeros(3), 0.8, 0.8, W, H)
+    nodes = jnp.asarray(h.nodes)
+    params = dict(means3d=jnp.asarray(h.pos), scales=jnp.asarray(h.scale),
+                  quats=jnp.asarray(h.quat),
+                  opacities=jnp.asarray(np.clip(h.opacity, 0, 1)),
+                  shs=jnp.asarray(h.sh))
+    table = hc.build_interp_table(params, nodes)
+    args = (params["means3d"], params["scales"], params["quats"],
+            params["opacities"], params["shs"], nodes, jnp.ones(m, bool),
+            cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy, jnp.zeros(3), 0.01)
+
+    ref, n_ref = render_mod.render_lod_masked(
+        *args, None, None, None, table,
+        sh_degree=0, width=W, height=H, cfg=CFG, k_max=256,
+        use_frustum=False)
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:2]), ("tile",))
+    img, n_got = tp.render_lod_tile_parallel(
+        *args, mesh, interp_table=table,
+        sh_degree=0, width=W, height=H, cfg=CFG, k_max=256,
+        use_frustum=False)
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
+                               atol=2e-5)
