@@ -77,6 +77,11 @@ def eval_views(
     else:
         pcache = cut_mod.build_parent_cache(
             state.nodes, act.means3d, jnp.max(act.scales.T, axis=0))
+    # one child+parent feature table for the whole sweep: per-frame
+    # interpolation is a single wide gather
+    itab = cut_mod.build_interp_table(
+        dict(means3d=act.means3d, scales=act.scales, quats=act.quats,
+             opacities=act.opacities, shs=act.shs), state.nodes)
     out: List[EvalResult] = []
     for level in levels:
         psnr_sum = ssim_sum = lpips_sum = n_sum = 0.0
@@ -91,7 +96,7 @@ def eval_views(
                 state.nodes, state.alive,
                 cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
                 cam.tan_fovy, jnp.asarray(np.asarray(bg, np.float32)),
-                max(target, 1e-12), boxes, None, pcache,
+                max(target, 1e-12), boxes, None, pcache, None, itab,
                 sh_degree=state.sh_degree, width=cam.width, height=cam.height,
                 budget=budget, n_skybox=state.n_skybox, cfg=cfg, k_max=k_max)
             img = jnp.clip(res.image, 0.0, 1.0)
