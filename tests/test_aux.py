@@ -163,3 +163,38 @@ def test_covisibility_graph_from_colmap_db(tmp_path):
     order = scheduler.metropolis_hastings_walk(
         neighbors, 50, np.random.default_rng(0))
     assert len(order) == 50 and order.max() < 4
+
+
+def test_ssim_custom_vjp_matches_autodiff():
+    """The conv-forward / shift-add-backward blur split must give the same
+    SSIM gradient as stock autodiff through the shift-add blur (the blur
+    is self-adjoint: symmetric window + SAME zero padding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hlod_gaussians_tpu.ops import ssim as sm
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((3, 37, 53)).astype(np.float32))
+    b = jnp.asarray(rng.random((3, 37, 53)).astype(np.float32))
+
+    def ssim_ref(img1, img2):
+        w = sm._gaussian_window(11)
+        blur = lambda x: sm._blur_shift_add(x, w)
+        mu1, mu2 = blur(img1), blur(img2)
+        s1 = blur(img1 * img1) - mu1 * mu1
+        s2 = blur(img2 * img2) - mu2 * mu2
+        s12 = blur(img1 * img2) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        return m.mean()
+
+    v = float(sm.ssim(a, b))
+    v_ref = float(ssim_ref(a, b))
+    assert abs(v - v_ref) < 1e-6
+
+    g = np.asarray(jax.grad(lambda x: sm.ssim(x, b))(a))
+    g_ref = np.asarray(jax.grad(lambda x: ssim_ref(x, b))(a))
+    s = np.abs(g_ref).max() + 1e-12
+    np.testing.assert_allclose(g / s, g_ref / s, atol=1e-5)
