@@ -59,10 +59,10 @@ def main():
     # workload sized so per-view compute dominates per-step dispatch and
     # collective overhead (64 gaussians at 32^2 measured pure overhead:
     # every step was ~5 ms of launch + Gloo latency regardless of devices)
-    width = height = 128
-    cfg = RasterizerConfig(tile_w=16, tile_h=8, max_dup=1 << 15)
+    width = height = 192
+    cfg = RasterizerConfig(tile_w=16, tile_h=8, max_dup=1 << 16)
     rng = np.random.default_rng(0)
-    n_pts = 4096
+    n_pts = 8192
     pts = rng.normal(size=(n_pts, 3)).astype(np.float32)
     pts[:, 2] += 4.0
     state = gm.create_from_points(pts,
