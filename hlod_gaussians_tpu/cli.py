@@ -64,6 +64,17 @@ def cmd_eval(args):
         d = dhier_io.load_dhier(args.hierarchy)
         cap = 1 << (int(np.ceil(np.log2(d.pos.shape[0] + 1))))
         state = post_mod.create_from_dhier(d, capacity=cap)
+        if args.tau:
+            # the tau protocol cuts on PROJECTED BOXES
+            # (render_hierarchy.py:56-80); a .dhier carries no boxes, so
+            # build them bottom-up from the tree — silently falling back
+            # to the dynamic metric would misreport the sweep
+            from hlod_gaussians_tpu.hierarchy import boxes as boxes_mod
+            nb = boxes_mod.compute_node_boxes(
+                np.asarray(state.nodes), np.asarray(state.xyz),
+                np.exp(np.asarray(state.log_scale)).max(-1),
+                alive=np.asarray(state.alive))
+            boxes = (nb.lo, nb.hi, nb.max_side)
     scene = load_colmap_scene(args.source_path, images_dir=args.images,
                               eval_split=True)
     cams = [load_view(ci) for ci in scene.test_cameras[:args.max_views]]
@@ -176,7 +187,10 @@ def cmd_viewer(args):
         prev_n = pending_count[0]
         pending_count[0] = n_active
         if prev_n is not None:
-            target = ctrl.update(int(prev_n))
+            # regulate ctrl.target (the slider BASE) for the NEXT frame;
+            # this frame keeps the slider-scaled `target` so the cut mask
+            # and the render's ts/kids use the SAME granularity
+            ctrl.update(int(prev_n))
 
         shs_r = act.shs
         itab_r = itab
@@ -209,8 +223,10 @@ def cmd_viewer(args):
     srv = ViewerServer(args.host, args.port)
     print(f"viewer listening on {args.host}:{srv.port}")
     try:
+        import time as _time
         while True:
-            srv.poll_once(render_fn)
+            if srv.poll_once(render_fn) is None:
+                _time.sleep(0.02)   # idle: don't busy-spin on try_connect
     except KeyboardInterrupt:
         srv.close()
 

@@ -63,10 +63,13 @@ def eval_views(
     reference's projected-box metric instead of the dynamic one.
     """
     import warnings
+    _warn = warn if warn is not None else (
+        lambda msg: warnings.warn(msg, stacklevel=3))
     if lpips_fn is None:
-        (warn or warnings.warn)(
-            "LPIPS unavailable (no local VGG weights) — reporting "
-            "PSNR/SSIM only", stacklevel=2)
+        _warn("LPIPS unavailable (no local VGG weights) — reporting "
+              "PSNR/SSIM only")
+    assert len(cameras) == len(gt_images), (
+        f"{len(cameras)} cameras vs {len(gt_images)} gt images")
     if boxes is not None:
         boxes = tuple(jnp.asarray(np.asarray(b, np.float32)) for b in boxes)
     act = gm.activate(state)
@@ -85,6 +88,7 @@ def eval_views(
     out: List[EvalResult] = []
     for level in levels:
         psnr_sum = ssim_sum = lpips_sum = n_sum = 0.0
+        n_truncated = n_capped = 0
         for cam, gt in zip(cameras, gt_images):
             if level_is_tau:
                 target = float(render_mod.tau_to_threshold(
@@ -105,7 +109,15 @@ def eval_views(
             ssim_sum += float(ssim_ops.ssim(img, gt_j))
             if lpips_fn is not None:
                 lpips_sum += float(lpips_fn(img, gt_j))
-            n_sum += float(n_sel)
+            n_truncated += int(bool(res.truncated))
+            n_capped += int(float(n_sel) > budget)
+            # the render drops past-budget nodes — report what rendered
+            n_sum += min(float(n_sel), float(budget))
+        if n_truncated or n_capped:
+            _warn(f"level {level}: {n_truncated} view(s) truncated "
+                  f"(cfg.max_dup) and {n_capped} over the node budget "
+                  f"({budget}) — metrics are degraded; raise max_dup/"
+                  "budget for exact numbers")
         m = max(len(cameras), 1)
         out.append(EvalResult(
             level=level, psnr=psnr_sum / m, ssim=ssim_sum / m,

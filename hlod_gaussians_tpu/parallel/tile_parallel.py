@@ -50,16 +50,12 @@ def render_tile_parallel(
 
     from jax import shard_map
 
-    def band(fn_idx, xy):
-        """Shift projected y into band-local coordinates."""
-        return xy - jnp.asarray([0.0, band_h]) * fn_idx
-
     use_lod = ts is not None and kids is not None
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(),) * 14,
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False)
     def _render(means3d, scales, quats, opacities, shs, valid,
                 world_view, full_proj, campos, tfx, tfy, bg, ts_r, kids_r):
@@ -108,58 +104,73 @@ def render_tile_parallel(
                 width=width, height=band_h, tile_w=cfg.tile_w,
                 tile_h=cfg.tile_h, k_max=k_max, t_eps=cfg.t_eps,
                 alpha_min=cfg.alpha_min)
-        return out.image  # [3, band_h, width] -> stacked over axis
+        # [3, band_h, width] + per-band truncation flag, stacked over axis
+        return out.image, out.truncated[None]
 
     n = means3d.shape[0]
-    img = _render(means3d, scales, quats, opacities, shs, valid,
-                  world_view, full_proj, campos,
-                  jnp.asarray(tan_fovx, jnp.float32),
-                  jnp.asarray(tan_fovy, jnp.float32), jnp.asarray(bg),
-                  jnp.ones((n,), jnp.float32) if ts is None else ts,
-                  jnp.ones((n,), jnp.int32) if kids is None else kids)
-    # out_specs P(axis) shards the leading dim; reassemble to [3, H, W]
-    return img.reshape(n_dev, 3, band_h, width).transpose(1, 0, 2, 3) \
+    img, trunc = _render(means3d, scales, quats, opacities, shs, valid,
+                         world_view, full_proj, campos,
+                         jnp.asarray(tan_fovx, jnp.float32),
+                         jnp.asarray(tan_fovy, jnp.float32), jnp.asarray(bg),
+                         jnp.ones((n,), jnp.float32) if ts is None else ts,
+                         jnp.ones((n,), jnp.int32) if kids is None else kids)
+    # out_specs P(axis) shards the leading dim; reassemble to [3, H, W].
+    # `truncated` = any band overflowed its max_dup/n_dev entry slots
+    # (band-local binning capacity) — callers must surface it, same
+    # discipline as RenderResult.truncated.
+    img = img.reshape(n_dev, 3, band_h, width).transpose(1, 0, 2, 3) \
         .reshape(3, n_dev * band_h, width)[:, :height]
+    return img, jnp.any(trunc)
 
 
 def render_lod_tile_parallel(
     means3d, scales, quats, opacities, shs, nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
     target_size, mesh: Mesh,
-    pcache=None, interp_table=None,
+    boxes=None, pcache=None, interp_table=None,
     *,
     sh_degree: int, width: int, height: int,
+    n_skybox: int = 0,
     cfg: RasterizerConfig = RasterizerConfig(),
     k_max: int = 1024,
     axis: str = "tile",
     use_frustum: bool = True,
 ):
     """One hierarchical-LOD frame sharded across chips: replicated
-    granularity cut + masked InterpTable lerp (cheap, elementwise), then
-    the band-sharded blend of render_tile_parallel with the in-kernel LOD
-    alpha correction. The multi-chip real-time story for big trees: the
-    O(pixels) blend — the dominant per-frame cost — splits across the
-    mesh while the O(nodes) cut stays replicated (it is ~3 ms at 1M
-    nodes). Returns ([3, H, W] image, n_selected)."""
+    granularity cut (render.py::_compute_cut — the SAME selection rule as
+    every other LOD entry point) + masked InterpTable lerp (cheap,
+    elementwise), then the band-sharded blend of render_tile_parallel with
+    the in-kernel LOD alpha correction. The multi-chip real-time story for
+    big trees: the O(pixels) blend — the dominant per-frame cost — splits
+    across the mesh while the O(nodes) cut stays replicated (~3 ms at 1M
+    nodes). Skybox rows (depth = -1, excluded from every cut) are
+    re-included via the mask with t = 1 — they live in the same arrays, so
+    no concat is needed. Returns ([3, H, W] image, n_selected,
+    truncated)."""
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+    from hlod_gaussians_tpu.render import _compute_cut
 
-    zdir = world_view[:3, 2]
-    cut = cut_mod.expand_to_size_dynamic(
-        nodes, means3d, jnp.max(scales.T, axis=0), alive, campos, zdir,
-        target_size, pcache, use_frustum=use_frustum)
+    cut = _compute_cut(None, boxes, nodes, means3d, scales, alive, campos,
+                       world_view, target_size, pcache, use_frustum)
     if interp_table is None:
         interp_table = cut_mod.build_interp_table(
             dict(means3d=means3d, scales=scales, quats=quats,
                  opacities=opacities, shs=shs), nodes)
     mask = cut.render_mask
-    interp = cut_mod.interpolate_all_masked(interp_table, cut.ts, mask)
+    n_selected = jnp.sum(mask)
+    ts = cut.ts
+    if n_skybox > 0:
+        sky = jnp.arange(means3d.shape[0]) < n_skybox
+        mask = mask | (sky & alive)
+        ts = jnp.where(sky, 1.0, ts)        # pass-through, no parent blend
+    interp = cut_mod.interpolate_all_masked(interp_table, ts, mask)
     q = interp["quats"]
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
-    img = render_tile_parallel(
+    img, truncated = render_tile_parallel(
         interp["means3d"], interp["scales"], q, interp["opacities"],
         interp["shs"], mask, world_view, full_proj, campos, tan_fovx,
-        tan_fovy, bg, mesh, jnp.where(mask, cut.ts, 1.0),
+        tan_fovy, bg, mesh, jnp.where(mask, ts, 1.0),
         jnp.maximum(cut.kids, 1),
         sh_degree=sh_degree, width=width, height=height, cfg=cfg,
         k_max=k_max, axis=axis)
-    return img, jnp.sum(mask)
+    return img, n_selected, truncated

@@ -162,9 +162,10 @@ def test_tile_parallel_matches_single_device():
 
     # H=32 with 16px tiles -> 2 tile rows -> 2-device band split
     mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:2]), ("tile",))
-    img = tp.render_tile_parallel(
+    img, trunc = tp.render_tile_parallel(
         *args[:11], jnp.zeros(3), mesh, sh_degree=1, width=W, height=H,
         cfg=CFG, k_max=256)
+    assert not bool(trunc)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
 
 
@@ -204,10 +205,10 @@ def test_tile_parallel_lod_matches_masked():
         use_frustum=False)
 
     mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:2]), ("tile",))
-    img, n_got = tp.render_lod_tile_parallel(
+    img, n_got, trunc = tp.render_lod_tile_parallel(
         *args, mesh, interp_table=table,
         sh_degree=0, width=W, height=H, cfg=CFG, k_max=256,
         use_frustum=False)
-    assert int(n_got) == int(n_ref)
+    assert int(n_got) == int(n_ref) and not bool(trunc)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
                                atol=2e-5)
