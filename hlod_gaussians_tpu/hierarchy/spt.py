@@ -92,7 +92,6 @@ def build_spt(
     parent = nodes[:, NODE_PARENT]
     in_walk = np.zeros(c, bool)      # reached by the walk
     in_walk[root] = True
-    depth_order = nodes[:, NODE_DEPTH]
     for _ in range(max_depth):
         # children of (in_walk & cond) nodes join the walk
         p_ok = np.zeros(c, bool)
@@ -312,6 +311,13 @@ def spt_cut_budgeted(
     and the smallest one under budget wins, so the training loop never
     syncs on the cut size. Returns the chosen cut (its spt_distance already
     includes the winning multiplier).
+
+    If even base * grow^(retries-1) exceeds the budget the LAST candidate
+    is returned still over budget — compare the result's n_selected to the
+    budget before truncating it to a fixed-size index list (the dense-mask
+    training path in pipeline/full_train.py needs no truncation, so an
+    over-budget cut there only costs memory, matching the reference's
+    unbounded retry loop in spirit).
     """
     cuts = [spt_cut(forest, capacity_mask_shape, campos, full_proj,
                     distance_multiplier=base_multiplier * (grow ** k),

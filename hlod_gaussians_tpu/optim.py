@@ -51,8 +51,16 @@ def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
     else:
         delay_rate = 1.0
     t = jnp.clip(step / max_steps, 0.0, 1.0)
-    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
-    return delay_rate * log_lerp
+    # frozen parameter (both rates 0, e.g. the coarse stage's xyz): the
+    # log-lerp would be exp(log(0)*(1-t) + log(0)*t) = NaN and poison the
+    # frozen tensor through Adam — the reference special-cases this to 0
+    # (get_expon_lr_func's `if lr_init == lr_final == 0` guard). Rates may
+    # be traced (xyz LR scales by scene extent), hence the where-guard.
+    frozen = (jnp.asarray(lr_init) == 0.0) & (jnp.asarray(lr_final) == 0.0)
+    li = jnp.where(frozen, 1.0, lr_init)
+    lf = jnp.where(frozen, 1.0, lr_final)
+    log_lerp = jnp.exp(jnp.log(li) * (1 - t) + jnp.log(lf) * t)
+    return jnp.where(frozen, 0.0, delay_rate * log_lerp)
 
 
 def param_lrs(cfg: OptimizationConfig, step, spatial_lr_scale: float,

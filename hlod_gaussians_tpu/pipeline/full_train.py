@@ -271,11 +271,15 @@ def run_pipeline(
     from hlod_gaussians_tpu.utils import checkpoint as ckpt
 
     if view_loader is None:
-        view_loader = load_view
+        # one exposure slot per image (reference assigns exposures per
+        # image; a constant exposure_idx=0 would collapse them all into
+        # one shared matrix)
+        views_all = [load_view(ci, exposure_idx=i)
+                     for i, ci in enumerate(scene.train_cameras)]
+    else:
+        views_all = [view_loader(ci) for ci in scene.train_cameras]
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-
-    views_all = [view_loader(ci) for ci in scene.train_cameras]
 
     # 1) coarse scaffold over every view (random bg, frozen xyz, skybox)
     coarse_path = os.path.join(output_dir, "scaffold.npz") if output_dir else ""
@@ -339,8 +343,13 @@ def run_pipeline(
                 sh_degree=3, logger=logger, stage=f"chunk{chunk.index}",
                 initial_state=init_state)
             d = state_to_hierarchy(ts_chunk)
+            # the merge hierarchy has ~2n-1 nodes for n trained leaves, so
+            # a chunk trained past half capacity would not fit the chunk
+            # capacity — size the post stage to the actual tree
+            post_cap = max(pcfg.chunk_capacity,
+                           1 << int(np.ceil(np.log2(d.pos.shape[0] + 1))))
             d_post = post_optimize(
-                d, cams, scene.extent, pcfg.post_iters, pcfg.chunk_capacity,
+                d, cams, scene.extent, pcfg.post_iters, post_cap,
                 opt=opt, post=post, cfg=cfg, pcfg=pcfg, logger=logger)
             chunk_dhiers.append(post_mod.state_to_dhier(d_post.gaussians))
             centers.append(chunk.center)
@@ -357,11 +366,14 @@ def run_pipeline(
                     np.ones(dd.nodes.shape[0], bool), vps,
                     post.spt_target_granularity)
                 flt.write_anchors(os.path.join(cd, "anchors.bin"), anchors)
-        except Exception:
+        except Exception as e:
             if not keep_running:
                 raise
+            import traceback
+            traceback.print_exc()
             if logger:
-                logger.log(stage=f"chunk{chunk.index}", error=1)
+                logger.log(stage=f"chunk{chunk.index}", error=1,
+                           message=f"{type(e).__name__}: {e}")
 
     if nproc > 1:
         from jax.experimental import multihost_utils
@@ -378,6 +390,11 @@ def run_pipeline(
                 chunk_dhiers.append(dhier_io.load_dhier(hp))
                 centers.append(chunk.center)
 
+    if not chunk_dhiers:
+        raise RuntimeError(
+            "no chunk hierarchies to merge — every chunk failed or no "
+            "hierarchy.dhier_opt artifacts exist (see the per-chunk error "
+            "log entries above)")
     merged = merge.merge_hierarchies(chunk_dhiers, np.stack(centers))
     if output_dir:
         dhier_io.save_dhier(os.path.join(output_dir, "merged.dhier"), merged)

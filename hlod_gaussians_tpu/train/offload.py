@@ -69,12 +69,20 @@ class HostStore(NamedTuple):
 
 def to_host_store(state: GaussianState,
                   adam: Optional[optim.AdamState] = None) -> HostStore:
+    """Arrays get ONE extra SCRATCH row (index cap): the write-back scatter
+    routes padding lanes there so they can never clobber a real row, while
+    staying in bounds for the host legalizer (which rejects drop-mode's
+    bounds-check select in the host partition). Fetches clip to cap-1, so
+    the scratch row is never read back."""
     host = _host_sharding()
-    params = {k: jax.device_put(getattr(state, k), host) for k in _ROW_KEYS}
+    pad1 = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    params = {k: jax.device_put(pad1(getattr(state, k)), host)
+              for k in _ROW_KEYS}
     if adam is None:
         adam = optim.init_adam(state.params())
-    m = {k: jax.device_put(adam.m[k], host) for k in _ROW_KEYS}
-    v = {k: jax.device_put(adam.v[k], host) for k in _ROW_KEYS}
+    m = {k: jax.device_put(pad1(adam.m[k]), host) for k in _ROW_KEYS}
+    v = {k: jax.device_put(pad1(adam.v[k]), host) for k in _ROW_KEYS}
     return HostStore(params=params, m=m, v=v, step=adam.step)
 
 
@@ -82,13 +90,13 @@ def from_host_store(store: HostStore, template: GaussianState
                     ) -> Tuple[GaussianState, optim.AdamState]:
     dev = _dev_sharding()
     state = dataclasses.replace(
-        template, **{k: jax.device_put(store.params[k], dev)
+        template, **{k: jax.device_put(store.params[k][:-1], dev)
                      for k in _ROW_KEYS})
     exp = template.exposure
     adam = optim.AdamState(
-        m={**{k: jax.device_put(store.m[k], dev) for k in _ROW_KEYS},
+        m={**{k: jax.device_put(store.m[k][:-1], dev) for k in _ROW_KEYS},
            "exposure": jnp.zeros_like(exp)},
-        v={**{k: jax.device_put(store.v[k], dev) for k in _ROW_KEYS},
+        v={**{k: jax.device_put(store.v[k][:-1], dev) for k in _ROW_KEYS},
            "exposure": jnp.zeros_like(exp)},
         step=store.step)
     return state, adam
@@ -134,10 +142,16 @@ def make_offloaded_step(
         out_shardings=HostStore(params=host_rows, m=host_rows, v=host_rows,
                                 step=dev),
         donate_argnums=(0,))
-    def writeback(store, idx_h, new_p, new_m, new_v):
+    def writeback(store, idx_wb, new_p, new_m, new_v):
+        # padding lanes write to the dedicated SCRATCH row (index cap,
+        # see to_host_store): a clipped index would alias row cap-1 and
+        # nondeterministically overwrite its update with the stale
+        # pre-update values the padding lanes carry; drop-mode is rejected
+        # by the host-offload legalizer, so the scratch row keeps the
+        # scatter in promise_in_bounds form
         def ws(x_host, v):
             v_h = jax.device_put(v, host)
-            return x_host.at[idx_h].set(v_h, mode="promise_in_bounds")
+            return x_host.at[idx_wb].set(v_h, mode="promise_in_bounds")
         return HostStore(
             params={k: ws(store.params[k], new_p[k]) for k in _ROW_KEYS},
             m={k: ws(store.m[k], new_m[k]) for k in _ROW_KEYS},
@@ -146,13 +160,15 @@ def make_offloaded_step(
 
     def step(store, idx, idx_valid, world_view, full_proj, campos,
              tan_fovx, tan_fovy, gt_image, bg):
-        cap = store.params["xyz"].shape[0]
+        cap = store.params["xyz"].shape[0] - 1   # last row = scratch
         idx_h = jax.device_put(jnp.clip(idx, 0, cap - 1), host)
+        idx_wb = jax.device_put(
+            jnp.where(idx_valid, jnp.clip(idx, 0, cap - 1), cap), host)
         rows, m_rows, v_rows = fetch(store, idx_h)
         new_p, new_m, new_v, loss, n_vis = compute(
             rows, m_rows, v_rows, store.step, idx_valid, world_view,
             full_proj, campos, tan_fovx, tan_fovy, gt_image, bg)
-        store2 = writeback(store, idx_h, new_p, new_m, new_v)
+        store2 = writeback(store, idx_wb, new_p, new_m, new_v)
         return store2, loss, n_vis
 
     return step
@@ -183,11 +199,15 @@ def _compute_phase(
         l1 = jnp.abs(image - gt_image).mean()
         ssim_v = ssim_ops.ssim(image, gt_image)
         loss = (1 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1 - ssim_v)
+        n_ws = jnp.maximum(jnp.sum(idx_valid), 1)
         if post.lambda_opacity > 0:
-            n_ws = jnp.maximum(jnp.sum(idx_valid), 1)
             op = jax.nn.sigmoid(p["opacity_logit"][:, 0])
             loss = loss + post.lambda_opacity * jnp.sum(
                 jnp.where(idx_valid, jnp.abs(op), 0.0)) / n_ws
+        if post.lambda_scaling > 0:
+            sc = jnp.exp(p["log_scale"])
+            loss = loss + post.lambda_scaling * jnp.sum(
+                jnp.where(idx_valid[:, None], jnp.abs(sc), 0.0)) / n_ws
         return loss, out
 
     (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(rows)
@@ -212,7 +232,13 @@ def _compute_phase(
 
 def cut_to_indices(mask: jnp.ndarray, budget: int
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Compact a working-set mask into a padded index list."""
+    """Compact a working-set mask into a padded index list.
+
+    Rows past `budget` are DROPPED (jnp.nonzero truncates at `size`);
+    `spt_cut_budgeted` can return an over-budget cut when even its largest
+    distance multiplier does not fit, so offloaded callers must compare
+    the cut's n_selected against `budget` (an async one-frame-lagged check
+    is enough) and grow the budget or the multiplier when it trips."""
     cap = mask.shape[0]
     idx = jnp.nonzero(mask, size=budget, fill_value=cap)[0].astype(jnp.int32)
     return idx, idx < cap
@@ -309,7 +335,7 @@ def make_numpy_offloaded_step(
 # The packed path stores params+Adam moments as ONE row-major [cap, D]
 # matrix, so a step is: ONE numpy gather -> ONE transfer -> jitted compute
 # (which unpacks/repacks by column slicing, free under XLA) -> ONE readback
-# -> ONE numpy scatter. On top, `run_pipelined` software-pipelines the
+# -> ONE numpy scatter. On top, the step's (dispatch, writeback) split software-pipelines the
 # host work against the device: compute(k) is dispatched asynchronously,
 # then the host writes back view k-1 and prefetches view k+1 while the
 # device renders — the double-buffering of the reference's [WRITE-BACK]/

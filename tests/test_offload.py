@@ -55,8 +55,9 @@ def test_offloaded_step_updates_only_working_set():
     assert np.isfinite(float(loss))
     assert int(n_vis) > 0
 
-    new_dc = np.asarray(store2.params["f_dc"])
-    # rows outside the working set untouched
+    new_dc = np.asarray(store2.params["f_dc"])[:-1]   # strip scratch row
+    # rows outside the working set untouched (incl. the LAST real row,
+    # which padding lanes used to clobber via index clipping)
     np.testing.assert_array_equal(new_dc[24:], dc0[24:])
     # some working-set rows were optimized
     assert not np.allclose(new_dc[:24], dc0[:24])
@@ -95,10 +96,10 @@ def test_offloaded_matches_resident_step():
     np.testing.assert_allclose(float(loss), float(aux.loss), rtol=1e-5)
     live = mask_np
     np.testing.assert_allclose(
-        np.asarray(store2.params["xyz"])[live],
+        np.asarray(store2.params["xyz"])[:-1][live],      # strip scratch row
         np.asarray(ts2.gaussians.xyz)[live], atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(store2.params["opacity_logit"])[live],
+        np.asarray(store2.params["opacity_logit"])[:-1][live],
         np.asarray(ts2.gaussians.opacity_logit)[live], atol=1e-6)
 
 

@@ -187,3 +187,31 @@ def test_densify_clone_mode():
         np.testing.assert_array_equal(np.asarray(g.log_scale)[c], ls_parent[p])
         np.testing.assert_array_equal(np.asarray(g.opacity_logit)[c],
                                       op_parent[p])
+
+
+def test_coarse_frozen_xyz_stays_finite():
+    """lr_init = lr_final = 0 (the coarse stage's frozen xyz) must yield a
+    ZERO learning rate, not NaN (exp(log(0)*(1-t) + log(0)*t)) — the NaN
+    silently destroyed the scaffold before the finite-filter hid it."""
+    import jax
+    from hlod_gaussians_tpu import optim
+    from hlod_gaussians_tpu.train import coarse as coarse_mod
+
+    lr = float(optim.expon_lr(0, 0.0, 0.0))
+    assert lr == 0.0 and np.isfinite(lr)
+
+    state, cam = toy_scene(n=24)
+    ts = flat.init_flat_train(state)
+    opt_c = coarse_mod.coarse_opt_config(OptimizationConfig())
+    xyz0 = np.asarray(ts.gaussians.xyz)
+    gt = jnp.zeros((3, H, W))
+    cams = (cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy)
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        ts, aux = coarse_mod.coarse_step(
+            ts, cams, gt, jax.random.fold_in(key, i), 5.0,
+            opt=opt_c, cfg=CFG, width=W, height=H, k_max=128)
+    xyz1 = np.asarray(ts.gaussians.xyz)
+    assert np.isfinite(xyz1).all()
+    np.testing.assert_array_equal(xyz1, xyz0)   # frozen: bit-identical
