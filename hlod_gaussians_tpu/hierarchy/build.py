@@ -42,6 +42,19 @@ from hlod_gaussians_tpu.models.gaussians import (
 from hlod_gaussians_tpu.ops import gaussian_math, quaternion
 
 
+def heap_depth(idx):
+    """Exact floor(log2(idx+1)) for int32 heap indices. f32 log2
+    misclassifies indices just below level boundaries above 2^24 (f32
+    cannot represent those integers exactly — e.g. 33554430 rounded into
+    depth 25 instead of 24); counting the level thresholds is exact for
+    any idx < 2^31 - 1."""
+    idx1 = idx + 1
+    depth = jnp.zeros(idx.shape, jnp.int32)
+    for k in range(1, 31):
+        depth = depth + (idx1 >= (1 << k)).astype(jnp.int32)
+    return depth
+
+
 def ellipse_surface(scale):
     """scale [...,3] -> s0*s1 + s0*s2 + s1*s2 (ClusterMerger.cpp:16-21)."""
     return (scale[..., 0] * scale[..., 1] + scale[..., 0] * scale[..., 2]
@@ -232,6 +245,14 @@ def _merge_level(ph_arrays, lo_i: int, hi_i: int, interior):
     det_neg = jnp.sum(cross * evecs[..., :, 2], axis=-1) < 0
     evecs = evecs.at[..., :, 2].multiply(jnp.where(det_neg, -1.0, 1.0)[..., None])
     mquat = quaternion.from_matrix(evecs)
+    # opacity = wsum / surface must not exceed 1: the reference's retry
+    # loop INFLATES the covariance until it does (ClusterMerger.cpp:101-116,
+    # the numerical floor above only handles degeneracy). ellipse_surface
+    # is quadratic in scale, so scaling by sqrt(wsum/surface) lands the
+    # opacity exactly at 1 in closed form — no data-dependent loop.
+    surf = jnp.maximum(ellipse_surface(mscale), 1e-20)
+    inflate = jnp.sqrt(jnp.maximum(wsum / surf, 1.0))
+    mscale = mscale * inflate[..., None]
     mop = wsum / jnp.maximum(ellipse_surface(mscale), 1e-20)
 
     # AABB union + longest side (ClusterMerger.cpp:148-169)
@@ -384,8 +405,7 @@ def build_hierarchy_padded(means, scales, quats, opacities, shs,
         scale = scale.at[lo_i:hi_i].set(jnp.where(has_parent[:, None], ns,
                                                   scale[lo_i:hi_i]))
 
-    depth = jnp.floor(jnp.log2(jnp.arange(h_cap, dtype=jnp.float32) + 1.0)
-                      ).astype(jnp.int32)
+    depth = heap_depth(jnp.arange(h_cap, dtype=jnp.int32))
     return PaddedHierarchy(
         pos=pos, scale=scale, quat=quat, opacity=opacity, sh=sh,
         box_lo=box_lo, box_hi=box_hi, max_side=max_side,
@@ -470,8 +490,6 @@ def build_flat(means, scales, quats, opacities, shs) -> Hierarchy:
     """Single-root flat "hierarchy" (reference FlatGenerator.cpp:14-31 +
     AvgMerger root): node 0 is an average-merged root whose children are
     every input Gaussian, chained as siblings."""
-    import numpy as np
-
     n = int(means.shape[0])
     c = n + 1
     nodes = np.full((c, 6), -1, np.int32)
@@ -501,8 +519,8 @@ def build_flat(means, scales, quats, opacities, shs) -> Hierarchy:
     r = 3.0 * scale.max(axis=1, keepdims=True)
     box_lo = pos - r
     box_hi = pos + r
-    box_lo[0] = np.concatenate([pos[1:] - r[1:]]).min(0)
-    box_hi[0] = np.concatenate([pos[1:] + r[1:]]).max(0)
+    box_lo[0] = (pos[1:] - r[1:]).min(0)
+    box_hi[0] = (pos[1:] + r[1:]).max(0)
     leaf_point = np.concatenate(
         [[-1], np.arange(n, dtype=np.int32)]).astype(np.int32)
     return Hierarchy(pos=pos, scale=scale, quat=quat, opacity=op, sh=sh,

@@ -95,13 +95,20 @@ def _sample_hosts(key, probs_masked, k2: int):
 
 
 def _unique_first(sampled, cap: int, k_out: int):
-    """First occurrence of each sampled value, compacted to k_out (padded
-    with `cap`)."""
-    s = jnp.sort(sampled)
-    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    uniq = jnp.where(first, s, cap)
-    uniq = jnp.sort(uniq)[:k_out]
-    return uniq, jnp.sum(first & (s < cap))
+    """First occurrence of each sampled value in SAMPLING ORDER, compacted
+    to k_out (padded with `cap`). Order preservation matters: a sorted
+    unique would deterministically favor LOW row indices whenever more
+    unique hosts are sampled than dead slots, biasing respawned mass away
+    from the opacity-weighted distribution (the reference's multinomial
+    keeps draw order)."""
+    k2 = sampled.shape[0]
+    pos = jnp.arange(k2, dtype=jnp.int32)
+    firstpos = jnp.full((cap + 1,), k2, jnp.int32).at[sampled].min(pos)
+    is_first = firstpos[sampled] == pos
+    key = jnp.where(is_first, pos, k2)
+    order = jnp.argsort(key)
+    uniq = jnp.where(key[order] < k2, sampled[order], cap)[:k_out]
+    return uniq, jnp.sum(is_first)
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "max_depth"),
@@ -160,6 +167,10 @@ def relocate_gs(
     hosts, n_hosts = _unique_first(sampled, cap, budget)
 
     n_reloc = jnp.minimum(jnp.minimum(n_dead, n_hosts), budget)
+    # no usable respawn hosts: categorical over all -inf logits returns
+    # index 0, which would silently turn row 0 (skybox/root) into an
+    # "interior" host — relocate nothing instead
+    n_reloc = jnp.where(jnp.sum(probs) > 0.0, n_reloc, 0)
     lane = jnp.arange(budget)
     valid = lane < n_reloc
     d = jnp.where(valid, dead_idx, cap)               # dead slot (child 1)
@@ -225,9 +236,27 @@ def relocate_gs(
     nodes2 = nodes2.at[d].set(child_row_d, mode="drop")
     nodes2 = nodes2.at[s].set(child_row_s, mode="drop")
 
-    # 4) fresh moments for all touched slots
+    # depth repair: the promotion rewires only the DIRECT children of the
+    # promoted slot, so a 2+ level subtree keeps stale depths (its root
+    # moved up one level). Re-derive every depth from the parent chain —
+    # level-synchronous, converges in <= max_depth passes. Runs once per
+    # densify interval, so the [cap]-gather passes are amortized.
+    par_all = nodes2[:, NODE_PARENT]
+    has_par = par_all >= 0
+    par_cl = jnp.clip(par_all, 0, cap - 1)
+    depth_col = nodes2[:, NODE_DEPTH]
+    for _ in range(max_depth):
+        depth_col = jnp.where(has_par, depth_col[par_cl] + 1, depth_col)
+    nodes2 = nodes2.at[:, NODE_DEPTH].set(depth_col)
+
+    # 4) fresh moments for all touched slots — including the parent slot,
+    #    which received the promoted sibling's PARAMETERS and must not
+    #    keep Adam moments accumulated for its previous Gaussian
+    #    (reference replace_tensors_to_optimizer resets every replaced row)
     touched = jnp.zeros((cap,), bool)
-    touched = touched.at[d].set(True, mode="drop").at[s].set(True, mode="drop")
+    touched = (touched.at[d].set(True, mode="drop")
+               .at[s].set(True, mode="drop")
+               .at[p].set(True, mode="drop"))
     adam = optim.zero_rows(adam, touched)
 
     new_state = dataclasses.replace(state, nodes=nodes2, **params)

@@ -296,7 +296,11 @@ def create_with_scaffold(
     # trained scaffold rows, SH-rest zero-padded to the chunk's degree
     f_rest_s = np.zeros((n_scaf, k_rest, 3), np.float32)
     src_rest = np.asarray(scaffold.f_rest)[rows]
-    f_rest_s[:, :src_rest.shape[1], :] = src_rest
+    # degree mismatch either way: pad a lower-degree scaffold with zeros,
+    # TRUNCATE a higher-degree one (a deg-3 scaffold into a deg-1 chunk
+    # would otherwise raise a broadcast error)
+    kk = min(k_rest, src_rest.shape[1])
+    f_rest_s[:, :kk, :] = src_rest[:, :kk, :]
 
     # chunk point init (reference: kNN scales over the chunk pcd only)
     pos_j = jnp.asarray(points.astype(np.float32))

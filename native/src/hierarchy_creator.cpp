@@ -255,7 +255,16 @@ Gaussian merge_pair(const Gaussian& a, const Gaussian& b) {
   for (int i = 0; i < 3; i++)
     for (int j = 0; j < 3; j++) R.m[i][j] = float(evecs[i][j]);
   out.rot = mat_to_quat(R);
-  out.opacity = ws / std::max(ellipse_surface(out.scale), 1e-20f);
+  // opacity = ws / surface must not exceed 1: the reference inflates the
+  // covariance until it does (ClusterMerger.cpp:101-116); surface is
+  // quadratic in scale, so sqrt(ws/surface) lands opacity exactly at 1
+  float surf = std::max(ellipse_surface(out.scale), 1e-20f);
+  if (ws > surf) {
+    float inflate = std::sqrt(ws / surf);
+    for (int i = 0; i < 3; i++) out.scale[i] *= inflate;
+    surf = std::max(ellipse_surface(out.scale), 1e-20f);
+  }
+  out.opacity = ws / surf;
   return out;
 }
 

@@ -294,3 +294,19 @@ def test_flat_generator():
     assert h.nodes.shape[0] == n + 1
     assert h.nodes[0, 2] == n
     sanity_check_hierarchy(h.nodes, np.ones(n + 1, bool))
+
+
+def test_heap_depth_exact_above_2_24():
+    """f32 log2 misclassifies heap indices just below level boundaries
+    above 2^24; the threshold-count formula must be exact there."""
+    import jax.numpy as jnp
+    idxs = np.array([0, 1, 2, 3, 6, 7,
+                     (1 << 24) - 2, (1 << 24) - 1, (1 << 24),
+                     (1 << 25) - 4, (1 << 25) - 3, (1 << 25) - 2,
+                     (1 << 25) - 1, (1 << 30) - 2], np.int32)
+    want = np.floor(np.log2(idxs.astype(np.float64) + 1)).astype(np.int32)
+    got = np.asarray(hb.heap_depth(jnp.asarray(idxs)))
+    np.testing.assert_array_equal(got, want)
+    # the f32 formulation is indeed wrong at these indices (sanity)
+    f32 = np.floor(np.log2(idxs.astype(np.float32) + 1.0)).astype(np.int32)
+    assert (f32 != want).any()

@@ -163,3 +163,74 @@ def test_add_new_gs_respects_capacity():
 
 def m_cap(n):
     return n
+
+
+def test_relocate_repairs_subtree_depths():
+    """Promoting an interior sibling pulls its WHOLE subtree up one level;
+    every stored depth must satisfy depth(child) == depth(parent) + 1
+    afterwards. kd-built trees pair leaves with height-<=1 siblings, so the
+    stale-grandchild case (which accumulates over repeated relocations in
+    training) is constructed by hand: kill leaf 1 whose sibling 2 carries a
+    3-level subtree."""
+    cap = 64
+    st = gm.empty_state(cap, sh_degree=0)
+    #            depth parent cc  fc  nsib side
+    rows = np.array([
+        [0,  -1, 2, 1, 0, 0],    # 0 root
+        [1,   0, 0, 0, 2, 0],    # 1 leaf to kill
+        [2,   0, 2, 3, 0, 0],    # 2 sibling S (interior)  [stored depth 2
+                                 #   is deliberately 1 too deep? no: S is a
+                                 #   child of root -> depth 1]
+        [2,   2, 2, 5, 4, 0],    # 3 S.child (interior)
+        [2,   2, 0, 0, 0, 0],    # 4 S.child leaf
+        [3,   3, 0, 0, 6, 0],    # 5 grandchild leaf
+        [3,   3, 0, 0, 0, 0],    # 6 grandchild leaf
+        [1,   0, 0, 0, 0, 0],    # unused
+    ], np.int32)
+    rows[2, 0] = 1               # S depth = 1 (child of root)
+    nodes = np.full((cap, 6), -1, np.int32)
+    nodes[: rows.shape[0]] = rows
+    alive = np.zeros(cap, bool)
+    alive[:7] = True
+    rng = np.random.default_rng(0)
+    st = dataclasses.replace(
+        st,
+        nodes=jnp.asarray(nodes),
+        alive=jnp.asarray(alive),
+        xyz=jnp.asarray(rng.normal(size=(cap, 3)).astype(np.float32)),
+        log_scale=jnp.full((cap, 3), -2.0),
+        quat=jnp.zeros((cap, 4)).at[:, 0].set(1.0),
+        opacity_logit=jnp.full((cap, 1), 2.0))
+    # kill leaf 1
+    st = dataclasses.replace(
+        st, opacity_logit=st.opacity_logit.at[1, 0].set(
+            float(gm.inverse_sigmoid(jnp.float32(0.001)))))
+    adam = optim.init_adam(st.params())
+    st2, _, n_reloc = mcmc.relocate_gs(
+        st, adam, jax.random.PRNGKey(2), budget=8, max_depth=12)
+    assert int(n_reloc) == 1
+    nodes2 = np.asarray(st2.nodes)
+    alive2 = np.asarray(st2.alive)
+    for i in np.where(alive2)[0]:
+        p = nodes2[i, NODE_PARENT]
+        if p >= 0 and nodes2[i, NODE_DEPTH] >= 0:
+            assert nodes2[i, NODE_DEPTH] == nodes2[p, NODE_DEPTH] + 1, \
+                (i, p, nodes2[i, NODE_DEPTH], nodes2[p, NODE_DEPTH])
+
+
+def test_relocate_no_candidates_is_noop():
+    """All-dead candidate set: categorical over -inf logits returns row 0;
+    relocate_gs must not corrupt row 0 (skybox/root) — it relocates 0."""
+    st, m = hier_state(n=9, seed=2)
+    nodes = np.asarray(st.nodes)
+    alive = np.asarray(st.alive)
+    leaves = (nodes[:, NODE_CHILD_COUNT] == 0) & alive
+    logit = np.array(st.opacity_logit)
+    logit[leaves] = float(gm.inverse_sigmoid(jnp.float32(0.001)))
+    st = dataclasses.replace(st, opacity_logit=jnp.asarray(logit))
+    adam = optim.init_adam(st.params())
+    nodes_before = np.array(st.nodes)
+    st2, _, n_reloc = mcmc.relocate_gs(
+        st, adam, jax.random.PRNGKey(0), budget=64, max_depth=12)
+    assert int(n_reloc) == 0
+    np.testing.assert_array_equal(np.asarray(st2.nodes), nodes_before)
