@@ -135,12 +135,19 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
     # gather expands them per entry (row count multiple of 8 = fast path)
     # min_x/min_y share one row (packed with an exact power-of-two factor)
     # to make room for 1/rw — the per-entry row split then runs as a
-    # reciprocal multiply instead of a multi-pass f32 divide
-    assert gw < 256 and gh < 256, (gw, gh)
+    # reciprocal multiply instead of a multi-pass f32 divide.
+    # 1024 admits 8K images at 8-px tiles (256 failed 4K at tile_h=8);
+    # min_x*1024+min_y < 2^20 stays exactly f32-representable. Gaussian
+    # ids and entry offsets ride f32 rows too, hence the 2^24 caps.
+    assert gw < 1024 and gh < 1024, (gw, gh)
+    assert n < (1 << 24), (
+        f"{n} gaussians: ids/offsets ride exact-f32 rows (< 2^24); shard "
+        "the scene (chunk/tile parallel) or raise the row dtype")
+    assert max_dup < (1 << 24), max_dup
     rw_f = jnp.maximum(rw, 1).astype(jnp.float32)
     attrs = jnp.stack([
         jnp.zeros((n,), jnp.float32),              # 0: offsets_exc (below)
-        min_x.astype(jnp.float32) * 256.0 + min_y.astype(jnp.float32),
+        min_x.astype(jnp.float32) * 1024.0 + min_y.astype(jnp.float32),
         1.0 / rw_f,
         rw_f,
         xy[..., 0], xy[..., 1],
@@ -151,6 +158,11 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
     touched_s = touched[order]
     offsets = jnp.cumsum(touched_s)
     total_cand = offsets[-1]
+    # int32 cumsum wraps negative past 2^31 candidates (degenerate frames
+    # where every gaussian covers most tiles), which would make BOTH the
+    # image empty AND the overflow flag False; an f32 total is exact below
+    # 2^24 and approximate-but-huge above, so the flag still trips
+    total_f = jnp.sum(touched_s.astype(jnp.float32))
     offsets_exc = (offsets - touched_s).astype(jnp.float32)
     attrs = attrs.at[0].set(offsets_exc)
 
@@ -170,8 +182,8 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
     # safe reciprocal split: rank < 2^22, rw <= 255, so (rank+0.5)/rw is
     # always > 1e-3 away from the next integer
     ty_rel = jnp.floor((rank + 0.5) * g[2])
-    g_min_x = jnp.floor(g[1] * (1.0 / 256.0))
-    g_min_y = g[1] - g_min_x * 256.0
+    g_min_x = jnp.floor(g[1] * (1.0 / 1024.0))
+    g_min_y = g[1] - g_min_x * 1024.0
     tx = g_min_x + rank - ty_rel * g[3]
     ty = g_min_y + ty_rel
 
@@ -210,7 +222,8 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
                     gen_counts=touched_s, gen_valid=keep,
                     num_dup=num_dup,
                     num_candidates=jnp.minimum(total_cand, max_dup),
-                    overflow=total_cand > max_dup)
+                    overflow=(total_cand > max_dup)
+                    | (total_f > float(max_dup)))
 
 
 class AlignedBins(NamedTuple):

@@ -147,7 +147,9 @@ def rasterize_tiles(
 
     if use_lod:
         t_col = ts
-        ik_col = 1.0 / kids.astype(jnp.float32)
+        # kids >= 1 guard: raw NODE_CHILD_COUNT is 0 for leaves; 1/0
+        # keeps the forward finite but NaNs the power's backward
+        ik_col = 1.0 / jnp.maximum(kids, 1).astype(jnp.float32)
     else:
         t_col = jnp.ones((n,), jnp.float32)
         ik_col = jnp.ones((n,), jnp.float32)

@@ -82,7 +82,7 @@ def rasterize_scan(
 
     use_lod = ts is not None and kids is not None
     if use_lod:
-        inv_kids_g = 1.0 / kids.astype(jnp.float32)
+        inv_kids_g = 1.0 / jnp.maximum(kids, 1).astype(jnp.float32)
         ts_g = ts
     else:
         inv_kids_g = jnp.ones((n,), jnp.float32)
@@ -142,6 +142,10 @@ def rasterize_scan(
     # (backward.cu:498-721).
     chunk = max(1, min(remat_chunk, k_max))
     n_chunks = -(-k_max // chunk)
+    # the scan actually processes n_chunks*chunk entries per tile; flag
+    # truncation against that bound, not k_max, so a tile fully rendered
+    # within the rounded-up budget is not reported truncated
+    k_bound = n_chunks * chunk
 
     def chunk_step(carry, k0):
         return jax.lax.scan(step, carry, k0 + jnp.arange(chunk, dtype=jnp.int32))
@@ -160,7 +164,7 @@ def rasterize_scan(
         return x[:height, :width]
 
     img = untile(out4)
-    truncated = jnp.any(bins.tile_counts > k_max) | bins.overflow
+    truncated = jnp.any(bins.tile_counts > k_bound) | bins.overflow
     return RenderOut(
         image=jnp.moveaxis(img[..., :3], -1, 0),
         invdepth=img[..., 3],

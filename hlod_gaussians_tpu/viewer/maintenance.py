@@ -51,12 +51,15 @@ def incremental_cut_step(
     """One split/collapse pass. Returns (new_active, n_split, n_collapse).
 
     Split: an active interior node that projects larger than the target is
-    replaced by its children. Collapse: all children of a parent that
-    projects smaller than the target are replaced by that parent (the
-    condition depends only on the parent, so siblings always agree —
-    matching changeNodesOnce's sibling-group moves,
-    runtime_switching.cu:236-292). Collapse wins over split so one step
-    maps proper cuts to proper cuts.
+    replaced by its children. Collapse: a sibling group is replaced by its
+    parent when the parent projects smaller than the target AND every
+    child of that parent is itself active (changeNodesOnce's sibling-group
+    moves, runtime_switching.cu:236-292). The all-children-active guard is
+    what keeps simultaneous collapses at DIFFERENT levels proper: without
+    it, zooming out could activate an ancestor while a deeper descendant
+    group collapses into its own parent, double-rendering the subtree.
+    Collapse wins over split so one step maps proper cuts to proper cuts;
+    multi-level coarsening settles over successive frames.
     """
     c = nodes.shape[0]
     parent = nodes[:, NODE_PARENT]
@@ -68,7 +71,12 @@ def incremental_cut_step(
     size = node_size_dynamic(pos, max_scale, viewpoint)
     parent_size = jnp.where(has_parent, size[parent_c], jnp.inf)
 
-    collapse = active & has_parent & (parent_size < target_size) & real
+    # a parent is collapsible only if ALL its children are in the cut
+    act_i = active.astype(jnp.int32)
+    all_child_active = jnp.ones((c,), jnp.int32).at[
+        jnp.where(has_parent & real, parent_c, c)].min(act_i, mode="drop")
+    collapse = (active & has_parent & (parent_size < target_size) & real
+                & (all_child_active[parent_c] > 0))
     split = active & (size >= target_size) & ~is_leaf & ~collapse & real
 
     # children of split nodes activate (one row per node: child iff its
@@ -142,28 +150,28 @@ class ActiveRowCache:
 
         Returns (n_fetched, n_evicted); device transfer is one gather of
         just the fetched rows per array."""
-        active_rows = np.where(active_mask)[0]
-        act = set(active_rows.tolist())
-        resident = {r for r in active_rows if self.slot_of_row[r] >= 0}
-
-        evict = [int(r) for r in np.where(self.slot_of_row >= 0)[0]
-                 if r not in act]
-        for r in evict:
-            s = self.slot_of_row[r]
-            self.slot_of_row[r] = -1
-            self.row_of_slot[s] = -1
-            self.free.append(int(s))
-
-        need = [int(r) for r in active_rows if r not in resident]
-        if len(need) > len(self.free):
+        # vectorized delta bookkeeping: Python set/loop bookkeeping cost
+        # tens of ms per frame at 100k-row cuts, defeating the cache
+        resident_mask = self.slot_of_row >= 0
+        evict_rows = np.where(resident_mask & ~active_mask)[0]
+        need_rows = np.where(active_mask & ~resident_mask)[0]
+        # validate the budget BEFORE mutating any map: raising after the
+        # evictions were applied would leave slot_valid stale while the
+        # caller recovers (coarsen + retry), rendering evicted rows
+        if len(need_rows) > len(self.free) + len(evict_rows):
             raise RuntimeError(
-                f"active set {len(active_rows)} exceeds budget {self.budget}")
-        slots = np.asarray([self.free.pop() for _ in need], np.int32)
-        rows = np.asarray(need, np.int32)
+                f"active set {int(active_mask.sum())} exceeds budget "
+                f"{self.budget}")
+        ev_slots = self.slot_of_row[evict_rows]
+        self.slot_of_row[evict_rows] = -1
+        self.row_of_slot[ev_slots] = -1
+        self.free.extend(int(s) for s in ev_slots)
+
+        rows = need_rows.astype(np.int32)
+        slots = np.asarray([self.free.pop() for _ in rows], np.int32)
         if len(rows):
-            for r, s in zip(rows, slots):
-                self.slot_of_row[r] = s
-                self.row_of_slot[s] = r
+            self.slot_of_row[rows] = slots
+            self.row_of_slot[slots] = rows
             sl = jnp.asarray(slots)
             for k, h in self.host.items():
                 self.device[k] = self.device[k].at[sl].set(
@@ -172,7 +180,7 @@ class ActiveRowCache:
         valid[self.row_of_slot >= 0] = True
         self.slot_valid = jnp.asarray(valid)
         self.last_fetch_rows = len(rows)
-        return len(rows), len(evict)
+        return len(rows), len(evict_rows)
 
     def device_rows(self) -> Dict[str, jnp.ndarray]:
         return self.device

@@ -120,3 +120,44 @@ def test_budget_controller():
     for _ in range(5):
         t2 = ctrl.update(10)      # under low water -> refine
     assert t2 < t1
+
+
+def test_incremental_coarsening_keeps_proper_cut():
+    """Target INCREASE (camera zooms out / budget coarsens): simultaneous
+    collapses at different levels must not activate an ancestor while a
+    deeper descendant stays in the cut (double-rendered subtree)."""
+    h = tree(n=97, seed=5)
+    nodes = jnp.asarray(h.nodes)
+    pos = jnp.asarray(h.pos)
+    ms = jnp.asarray(h.scale.max(axis=1))
+    c = nodes.shape[0]
+    alive = jnp.ones((c,), bool)
+    vp = jnp.zeros(3)
+
+    # refine to a fine cut first
+    active = jnp.asarray(maint.initial_cut(h.nodes, np.ones(c, bool)))
+    for _ in range(40):
+        active, n_s, n_c = maint.incremental_cut_step(
+            nodes, pos, ms, alive, active, vp, 1e-6)
+        if int(n_s) + int(n_c) == 0:
+            break
+    assert bool(is_hierarchy_cut(nodes, active, alive))
+
+    # big coarsening jump (but below the root's projected size — at or
+    # above it the reference renders NOTHING, markNodesForSizeDynamic's
+    # `else if (node.parent >= 0)` guard, and the incremental cut instead
+    # bottoms out at {root}): every step must stay a proper cut
+    from hlod_gaussians_tpu.hierarchy.cut import node_size_dynamic
+    root = int(np.where(np.asarray(nodes)[:, 1] == -1)[0][0])
+    coarse = 0.9 * float(node_size_dynamic(pos, ms, vp)[root])
+    for k in range(40):
+        active, n_s, n_c = maint.incremental_cut_step(
+            nodes, pos, ms, alive, active, vp, coarse)
+        assert bool(is_hierarchy_cut(nodes, active, alive)), f"step {k}"
+        if int(n_s) + int(n_c) == 0:
+            break
+    full = expand_to_size_dynamic(
+        nodes, pos, ms, alive, vp, jnp.asarray([0.0, 0.0, 1.0]), coarse,
+        use_frustum=False)
+    np.testing.assert_array_equal(np.asarray(active),
+                                  np.asarray(full.render_mask))
