@@ -138,14 +138,19 @@ def sparse_adam_update(
     return new_p, AdamState(m=new_m, v=new_v, step=step)
 
 
-def zero_rows(state: AdamState, mask: jnp.ndarray) -> AdamState:
+def zero_rows(state: AdamState, mask: jnp.ndarray, keys=None) -> AdamState:
     """Reset moments of masked rows (used when Gaussians are respawned /
     densified — reference replace_tensors_to_optimizer,
-    scene/gaussian_model.py:1531-1553)."""
-    def z(t):
+    scene/gaussian_model.py:1531-1553). With ``keys``, only those tensors'
+    moments are reset (the reference swaps single tensors — e.g. the
+    opacity reset must not erase xyz/SH momentum)."""
+    def z(k, t):
+        if keys is not None and k not in keys:
+            return t
         if t.ndim >= 1 and t.shape[0] == mask.shape[0]:
             return jnp.where(mask.reshape((mask.shape[0],) + (1,) * (t.ndim - 1)),
                              jnp.zeros_like(t), t)
         return t
-    return AdamState(m={k: z(t) for k, t in state.m.items()},
-                     v={k: z(t) for k, t in state.v.items()}, step=state.step)
+    return AdamState(m={k: z(k, t) for k, t in state.m.items()},
+                     v={k: z(k, t) for k, t in state.v.items()},
+                     step=state.step)

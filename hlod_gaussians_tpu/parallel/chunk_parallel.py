@@ -46,7 +46,7 @@ def shard_chunk_states(bts: flat.FlatTrainState, mesh: Mesh
 @functools.partial(
     jax.jit,
     static_argnames=("opt", "cfg", "width", "height", "k_max", "sh_degree",
-                     "use_exposure", "scale_big_gauss"),
+                     "use_exposure", "scale_big_gauss", "skybox_locked"),
     donate_argnames=("bts",))
 def chunk_parallel_step(
     bts: flat.FlatTrainState,        # leaves have leading chunk dim K
@@ -61,14 +61,19 @@ def chunk_parallel_step(
     width: int, height: int, k_max: int = 1024, sh_degree: int = 3,
     use_exposure: bool = True,
     scale_big_gauss: bool = True,
+    skybox_locked: bool = False,
 ) -> Tuple[flat.FlatTrainState, flat.StepAux]:
-    """One step of every chunk at once (vmapped flat.train_step)."""
+    """One step of every chunk at once (vmapped flat.train_step). Pass
+    ``skybox_locked=True`` when the chunks share a coarse-stage skybox
+    (the sequential chunk loop locks it, full_train.py — otherwise each
+    chunk's copy drifts independently and the merge cannot reconcile
+    them)."""
     def one(ts, wv, fp, cp, tfx, tfy, gt, eidx):
         return flat.train_step(
             ts, wv, fp, cp, tfx, tfy, gt, bg, exposure_idx=eidx,
             scene_extent=scene_extent, opt=opt, cfg=cfg, width=width,
             height=height, k_max=k_max, sh_degree=sh_degree,
-            use_exposure=use_exposure, skybox_locked=False,
+            use_exposure=use_exposure, skybox_locked=skybox_locked,
             scale_big_gauss=scale_big_gauss)
 
     return jax.vmap(one)(bts, world_view, full_proj, campos, tan_fovx,

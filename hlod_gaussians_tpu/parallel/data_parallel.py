@@ -80,13 +80,20 @@ def dp_train_step(
     sh_degree: int = 3,
     use_exposure: bool = True,
     antialiasing: bool = False,
+    skybox_locked: bool = False,
+    scale_big_gauss: bool = True,
+    big_gauss_frac: float = 0.02,
 ) -> Tuple[flat.FlatTrainState, jnp.ndarray]:
     """Data-parallel train step: B views rendered in parallel (sharded over
     the ``data`` mesh axis), gradients averaged across views.
 
-    Returns (new_state, mean loss). Densification stats accumulate the
-    per-view MAX / visibility-any, matching a B-step sequential loop of the
-    reference up to Adam's gradient averaging.
+    Returns (new_state, mean loss). Densification stats match a B-step
+    sequential loop of the reference (up to Adam's gradient averaging):
+    per-view screen-gradient NORMS are summed via a per-view xy_offset
+    hook (the norm of the AVERAGED gradient cancels between opposing
+    views), max_radii takes the per-view max, and the big-Gaussian shrink
+    + skybox gradient locking of flat.train_step apply. Monocular-depth
+    regularization is not plumbed through this path.
     """
     g = ts.gaussians
     cap = g.capacity
@@ -106,32 +113,51 @@ def dp_train_step(
         from hlod_gaussians_tpu.ops import ssim as ssim_ops
         ssim_v = ssim_ops.ssim(image, gt)
         loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_v)
-        return loss, out.visible
+        return loss, (out.visible, out.radii)
+
+    b = world_view.shape[0]
 
     def batch_loss(params, xy_offset):
-        losses, visible = jax.vmap(
-            view_loss, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0))(
+        losses, (visible, radii) = jax.vmap(
+            view_loss, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
                 params, xy_offset, world_view, full_proj, campos,
                 tan_fovx, tan_fovy, gt_images, exposure_idx)
-        return jnp.mean(losses), visible
+        return jnp.mean(losses), (visible, radii)
 
     params = g.params()
-    xy_offset = jnp.zeros((cap, 2), jnp.float32)
-    (loss, visible_b), (grads, xy_grad) = jax.value_and_grad(
+    # PER-VIEW screen-space hook [B, cap, 2]: its gradient separates the
+    # views, so densify stats use per-view norms (a shared hook would give
+    # the norm of the view-averaged gradient, which cancels between views
+    # looking at a Gaussian from opposite sides)
+    xy_offset = jnp.zeros((b, cap, 2), jnp.float32)
+    (loss, (visible_b, radii_b)), (grads, xy_grad) = jax.value_and_grad(
         batch_loss, argnums=(0, 1), has_aux=True)(params, xy_offset)
 
     visible = jnp.any(visible_b, axis=0)
-    g2d = jnp.linalg.norm(xy_grad, axis=-1)
-    xyz_accum = jnp.where(visible, jnp.maximum(ts.xyz_grad_accum, g2d),
+    # mean-loss gradients are 1/B of the sequential per-step gradients;
+    # the reference SUMS per-step norms into xyz_grad_accum
+    g2d = jnp.sum(jnp.linalg.norm(xy_grad * b, axis=-1), axis=0)
+    xyz_accum = jnp.where(visible, ts.xyz_grad_accum + g2d,
                           ts.xyz_grad_accum)
-    denom = ts.denom + visible.astype(jnp.int32)
+    denom = ts.denom + jnp.sum(visible_b.astype(jnp.int32), axis=0)
+    max_radii = jnp.maximum(ts.max_radii, jnp.max(radii_b, axis=0))
+
+    if skybox_locked:
+        sky = g.skybox_mask
+        grads = {k: (v if v.shape[:1] != (cap,) else
+                     jnp.where(sky.reshape((cap,) + (1,) * (v.ndim - 1)),
+                               jnp.zeros_like(v), v))
+                 for k, v in grads.items()}
 
     lrs = optim.param_lrs(opt, ts.step, scene_extent)
     new_params, adam = optim.sparse_adam_update(params, grads, ts.adam, lrs,
                                                 visible=visible)
+    if scale_big_gauss:
+        new_params = flat.shrink_big_gaussians(
+            new_params, g, scene_extent, big_gauss_frac)
     new_ts = flat.FlatTrainState(
         gaussians=g.replace_params(new_params), adam=adam,
-        xyz_grad_accum=xyz_accum, denom=denom, max_radii=ts.max_radii,
+        xyz_grad_accum=xyz_accum, denom=denom, max_radii=max_radii,
         step=ts.step + 1)
     return new_ts, loss
 

@@ -33,10 +33,13 @@ def chunk_weight(pos: np.ndarray, chunk_id: int,
     others = np.delete(np.arange(len(centers)), chunk_id)
     if len(others) == 0:
         return np.ones(pos.shape[0], np.float32)
-    d_other = np.min(np.linalg.norm(
-        pos[:, None, :] - centers[None, others, :], axis=-1), axis=1)
+    # K-loop keeps peak memory O(N): the broadcast [N, K-1, 3] difference
+    # tensor is gigabytes for million-node chunks in many-chunk scenes
+    d_other = np.full(pos.shape[0], np.inf, np.float32)
+    for j in others:
+        d_other = np.minimum(d_other,
+                             np.linalg.norm(pos - centers[j], axis=-1))
 
-    w = np.empty(pos.shape[0], np.float32)
     lo = (1.0 - falloff) * d_other
     hi = (1.0 + falloff) * d_other
     a = -1.0 / (2.0 * falloff * np.maximum(d_other, 1e-12))
@@ -47,18 +50,20 @@ def chunk_weight(pos: np.ndarray, chunk_id: int,
     return np.clip(w, 0.0, 1.0).astype(np.float32)
 
 
-def _splice_dropped(nodes: np.ndarray, keep: np.ndarray, max_depth: int = 64):
+def _splice_dropped(nodes: np.ndarray, keep: np.ndarray):
     """New parent for every kept node: nearest kept proper ancestor
-    (buildTreeRec's drop-and-promote, hierarchy_explicit_loader.cpp:120-133)."""
+    (buildTreeRec's drop-and-promote, hierarchy_explicit_loader.cpp:120-133).
+    Iterates to convergence (bounded by the longest root path, NOT a fixed
+    64: a longer dropped chain would silently orphan the subtree)."""
     n = nodes.shape[0]
     parent = nodes[:, NODE_PARENT].astype(np.int64)
     anc = parent.copy()
-    for _ in range(max_depth):
+    for _ in range(n + 1):
         bad = (anc >= 0) & ~keep[np.clip(anc, 0, n - 1)]
         if not bad.any():
-            break
+            return anc
         anc[bad] = parent[np.clip(anc[bad], 0, n - 1)]
-    return anc
+    raise ValueError("parent chain did not converge (cyclic node table?)")
 
 
 def reweight_chunk(d: DHier, chunk_id: int, centers: np.ndarray,
@@ -72,13 +77,20 @@ def reweight_chunk(d: DHier, chunk_id: int, centers: np.ndarray,
 
     new_parent = _splice_dropped(d.nodes, keep)
 
+    # canonical order: the ROOT must land at kept-index 0 — downstream,
+    # index 0 doubles as the next_sibling/first_child "none" sentinel
+    # (inherited from the reference format, where the root is node 0), so
+    # no interior node may be referenced as child 0
     kept = np.where(keep)[0]
+    ri = int(np.where(kept == root)[0][0])
+    if ri != 0:
+        kept = np.concatenate([[root], np.delete(kept, ri)])
     remap = np.full(d.nodes.shape[0], -1, np.int64)
     remap[kept] = np.arange(len(kept))
 
     parent = np.where(new_parent[kept] >= 0,
                       remap[np.clip(new_parent[kept], 0, len(remap) - 1)], -1)
-    nodes = rebuild_links(parent, d.nodes[kept, NODE_DEPTH])
+    nodes = rebuild_links(parent)
 
     return DHier(
         sh_degree=d.sh_degree,
@@ -87,39 +99,44 @@ def reweight_chunk(d: DHier, chunk_id: int, centers: np.ndarray,
         shs=d.shs[kept], nodes=nodes)
 
 
-def rebuild_links(parent: np.ndarray, depth_hint: np.ndarray) -> np.ndarray:
+def rebuild_links(parent: np.ndarray) -> np.ndarray:
     """Node table from a parent array: child_count / first_child /
-    next_sibling chains + recomputed depths."""
+    next_sibling chains + recomputed depths. Fully vectorized — the
+    per-node Python loop cost minutes on million-node chunks."""
     n = parent.shape[0]
+    parent = parent.astype(np.int64)
     nodes = np.full((n, 6), 0, np.int32)
     nodes[:, NODE_PARENT] = parent
-    nodes[:, NODE_FIRST_CHILD] = -1
 
+    # group children by parent; stable sort keeps original index order, so
+    # first_child = the lowest-index child and sibling chains ascend —
+    # identical to the previous sequential construction
     order = np.argsort(parent, kind="stable")
-    for i in order[::-1]:           # reverse so first child ends up first
-        p = parent[i]
-        if p < 0:
-            continue
-        nodes[i, NODE_NEXT_SIBLING] = (
-            nodes[p, NODE_FIRST_CHILD] if nodes[p, NODE_FIRST_CHILD] >= 0 else 0)
-        nodes[p, NODE_FIRST_CHILD] = i
-        nodes[p, NODE_CHILD_COUNT] += 1
-    nodes[nodes[:, NODE_FIRST_CHILD] == -1, NODE_FIRST_CHILD] = 0
-    leaf = nodes[:, NODE_CHILD_COUNT] == 0
-    nodes[leaf, NODE_FIRST_CHILD] = -1
-    nodes[:, NODE_FIRST_CHILD] = np.where(leaf, -1, nodes[:, NODE_FIRST_CHILD])
+    ps = parent[order]
+    valid = ps >= 0
+    nxt = np.zeros(n, np.int64)
+    same = np.zeros(n, bool)
+    same[:-1] = ps[:-1] == ps[1:]
+    nxt[:-1][same[:-1]] = order[1:][same[:-1]]    # 0 = chain-end sentinel
+    nodes[order[valid], NODE_NEXT_SIBLING] = nxt[valid]
+    starts = np.ones(n, bool)
+    starts[1:] = ps[1:] != ps[:-1]
+    gs = starts & valid
+    nodes[ps[gs], NODE_FIRST_CHILD] = order[gs]
+    cc = np.bincount(ps[valid], minlength=n)[:n]
+    nodes[:, NODE_CHILD_COUNT] = cc
+    nodes[cc == 0, NODE_FIRST_CHILD] = -1          # leaves carry -1
 
-    # depths from the root down
+    # depths from the root down (bounded by the longest root path)
     depth = np.full(n, -1, np.int32)
-    roots = np.where(parent < 0)[0]
-    depth[roots] = 0
-    for _ in range(64):
-        need = (depth < 0) & (parent >= 0) & (depth[np.clip(parent, 0, n - 1)] >= 0)
+    depth[parent < 0] = 0
+    for _ in range(n + 1):
+        need = (depth < 0) & (parent >= 0) \
+            & (depth[np.clip(parent, 0, n - 1)] >= 0)
         if not need.any():
             break
         depth[need] = depth[parent[need]] + 1
     nodes[:, NODE_DEPTH] = depth
-    # normalize leaf first_child to -1, interior keep index
     nodes[:, NODE_AUX] = 0
     return nodes
 
@@ -141,6 +158,9 @@ def merge_hierarchies(chunks: Sequence[DHier], centers: np.ndarray,
         n = p.pos.shape[0]
         nodes = p.nodes.copy()
         root = int(np.where(nodes[:, NODE_PARENT] == -1)[0][0])
+        assert root == 0, (
+            "chunk root must be node 0 (reweight_chunk canonicalizes "
+            "this; index 0 doubles as the link sentinel)")
         # parent: 0 is a REAL index (the chunk root), shift >= 0;
         # first_child: leaves are -1, interior never references index 0;
         # next_sibling: 0 is the chain-end sentinel

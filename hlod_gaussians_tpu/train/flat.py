@@ -157,16 +157,9 @@ def train_step(
                                                 visible=visible)
 
     # big-Gaussian shrink (train_single.py:180-186): scales over
-    # big_gauss_frac of the scene extent shrink by 0.8 each step (2% for
-    # chunk training, 10% for the coarse scaffold, train_coarse.py:168-172);
-    # skybox and scaffold rows excluded (train_single.py:184-185).
     if scale_big_gauss:
-        ls = new_params["log_scale"]
-        viol = (jnp.max(ls, axis=-1)
-                > jnp.log(scene_extent * big_gauss_frac)) & g.alive
-        viol = viol & (~g.protected_mask)
-        ls = jnp.where(viol[:, None], ls + jnp.log(0.8), ls)
-        new_params = dict(new_params, log_scale=ls)
+        new_params = shrink_big_gaussians(new_params, g, scene_extent,
+                                          big_gauss_frac)
 
     new_ts = FlatTrainState(
         gaussians=g.replace_params(new_params),
@@ -268,6 +261,19 @@ def densify_step(ts: FlatTrainState, scene_extent,
 
 
 @jax.jit
+def shrink_big_gaussians(new_params, g, scene_extent, big_gauss_frac):
+    """Gaussians above big_gauss_frac of the scene extent shrink by 0.8
+    each step (2% for chunk training, 10% for the coarse scaffold,
+    train_coarse.py:168-172); skybox and scaffold rows excluded
+    (train_single.py:184-185)."""
+    ls = new_params["log_scale"]
+    viol = (jnp.max(ls, axis=-1)
+            > jnp.log(scene_extent * big_gauss_frac)) & g.alive
+    viol = viol & (~g.protected_mask)
+    ls = jnp.where(viol[:, None], ls + jnp.log(0.8), ls)
+    return dict(new_params, log_scale=ls)
+
+
 def reset_opacity(ts: FlatTrainState) -> FlatTrainState:
     """Clamp opacity to <= 0.01 for non-skybox rows (reference
     reset_opacity, scene/gaussian_model.py:1214-1218)."""
@@ -276,7 +282,10 @@ def reset_opacity(ts: FlatTrainState) -> FlatTrainState:
     new_logit = gm.inverse_sigmoid(jnp.minimum(op, 0.01))
     sky = g.skybox_mask[:, None]
     logit = jnp.where(sky, g.opacity_logit, new_logit)
-    # the reference swaps the tensor in the optimizer, resetting its moments
-    adam = optim.zero_rows(ts.adam, ~g.skybox_mask)
+    # the reference swaps ONLY the opacity tensor in the optimizer,
+    # resetting its moments — the other tensors keep their momentum
+    # (replace_tensor_to_optimizer, scene/gaussian_model.py:1214-1218)
+    adam = optim.zero_rows(ts.adam, ~g.skybox_mask,
+                           keys=("opacity_logit",))
     return dataclasses.replace(
         ts, gaussians=dataclasses.replace(g, opacity_logit=logit), adam=adam)
