@@ -147,16 +147,28 @@ def read_cameras_txt(path) -> Dict[int, ColmapCamera]:
 
 
 def read_images_txt(path) -> Dict[int, ColmapImage]:
+    """Every image is an IMAGE line followed by a POINTS2D line that may
+    legally be EMPTY (zero observations) — so the pairing must alternate
+    over raw lines like the reference read_extrinsics_text, not stride
+    over a blank-filtered list (which would drop/misparse images)."""
     out = {}
-    lines = [l.strip() for l in open(path)
-             if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):
-        t = lines[i].split()
+    expect_points = False
+    for raw in open(path):
+        line = raw.strip()
+        if line.startswith("#"):
+            continue
+        if expect_points:            # POINTS2D line (possibly empty)
+            expect_points = False
+            continue
+        if not line:
+            continue
+        t = line.split()
         iid = int(t[0])
         qvec = np.array([float(x) for x in t[1:5]])
         tvec = np.array([float(x) for x in t[5:8]])
         out[iid] = ColmapImage(iid, qvec, tvec, int(t[8]), t[9],
                                np.zeros((0, 2)), np.zeros((0,), np.int64))
+        expect_points = True
     return out
 
 
@@ -231,12 +243,18 @@ def focal2fov(focal, pixels):
 def camera_intrinsics(cam: ColmapCamera):
     """(fovx, fovy, primx, primy) from a COLMAP camera
     (scene/dataset_readers.py:129-147)."""
-    if cam.model == "SIMPLE_PINHOLE" or cam.model == "SIMPLE_RADIAL":
+    if cam.model == "SIMPLE_PINHOLE":
         fx = fy = cam.params[0]
         cx, cy = cam.params[1], cam.params[2]
-    elif cam.model in ("PINHOLE", "OPENCV"):
+    elif cam.model == "PINHOLE":
         fx, fy, cx, cy = cam.params[:4]
     else:
-        raise ValueError(f"unsupported camera model {cam.model}")
+        # distorted models (SIMPLE_RADIAL/OPENCV/...) must be undistorted
+        # first — silently dropping the distortion coefficients shifts
+        # reprojections by many pixels at the borders (the reference
+        # asserts the same, dataset_readers.py:129-147)
+        raise ValueError(
+            f"unsupported camera model {cam.model}: undistort the "
+            "reconstruction (colmap image_undistorter) to PINHOLE first")
     return (focal2fov(fx, cam.width), focal2fov(fy, cam.height),
             cx / cam.width, cy / cam.height)

@@ -120,6 +120,15 @@ def save_hier(path: str, h: UpstreamHier, compressed: bool = False) -> None:
             hn["parent"] = h.nodes[:, 1]
             hn["start"] = h.nodes[:, 2]
             hn["start_children"] = h.nodes[:, 5]
+            # the short fields overflow silently under numpy; the reference
+            # writer throws "Would lose information!" past 32000
+            # (hierarchy_writer.cpp:27-119) — the root's count_leafs equals
+            # the total leaf count, so any multi-32k-leaf scene trips this
+            for col in (0, 6, 3, 4):
+                if np.abs(h.nodes[:, col]).max(initial=0) > 32000:
+                    raise ValueError(
+                        "compressed .hier cannot hold node counts > 32000 "
+                        f"(column {col}); write uncompressed instead")
             hn["dccc"][:, 0] = h.nodes[:, 0]
             hn["dccc"][:, 1] = h.nodes[:, 6]
             hn["dccc"][:, 2] = h.nodes[:, 3]

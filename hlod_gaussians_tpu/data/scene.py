@@ -56,7 +56,10 @@ def nerfpp_norm(cam_infos: Sequence[CameraInfo]):
         centers.append(c2w[:3, 3])
     centers = np.stack(centers)
     avg = centers.mean(axis=0)
-    radius = float(np.linalg.norm(centers - avg, axis=-1).max() * 1.1)
+    # 0.9 quantile, not max: one outlier camera must not inflate the
+    # extent (reference getNerfppNorm, dataset_readers.py:52-73)
+    dist = np.linalg.norm(centers - avg, axis=-1)
+    radius = float(np.quantile(dist, 0.9) * 1.1)
     return radius, -avg
 
 
@@ -75,6 +78,15 @@ def load_colmap_scene(
         sparse = os.path.join(source_path, "sparse")
     cams, images, pts = cm.read_model(sparse)
 
+    # per-image monocular-depth scale/offset fits written by
+    # make_depth_scale (reference readColmapSceneInfo reads
+    # sparse/0/depth_params.json, dataset_readers.py:195-218)
+    depth_params_all = None
+    dp_path = os.path.join(sparse, "depth_params.json")
+    if depths_dir and os.path.exists(dp_path):
+        import json
+        depth_params_all = json.load(open(dp_path))
+
     infos = []
     for iid in sorted(images, key=lambda i: images[i].name):
         im = images[iid]
@@ -84,7 +96,9 @@ def load_colmap_scene(
         name = os.path.splitext(im.name)[0]
         depth_path = (os.path.join(source_path, depths_dir, name + ".png")
                       if depths_dir else "")
-        alpha_path = (os.path.join(alpha_masks_dir, name + ".png")
+        dp = depth_params_all.get(name) if depth_params_all else None
+        alpha_path = (os.path.join(source_path, alpha_masks_dir,
+                                   name + ".png")
                       if alpha_masks_dir else "")
         infos.append(CameraInfo(
             uid=iid, R=R, T=im.tvec.astype(np.float64),
@@ -92,7 +106,8 @@ def load_colmap_scene(
             primx=float(primx), primy=float(primy),
             width=cam.width, height=cam.height,
             image_path=os.path.join(source_path, images_dir, im.name),
-            image_name=name, depth_path=depth_path, alpha_path=alpha_path))
+            image_name=name, depth_path=depth_path, alpha_path=alpha_path,
+            depth_params=dp))
 
     # split: test.txt (one image name per line) or every test_hold-th
     test_file = os.path.join(source_path, "test.txt")
@@ -108,7 +123,10 @@ def load_colmap_scene(
     else:
         train, test = infos, []
 
-    extent, center = nerfpp_norm(infos)
+    # extent from TRAIN cameras only (the reference computes getNerfppNorm
+    # on train_cam_infos; test cameras must not affect densification
+    # thresholds / lr scaling)
+    extent, center = nerfpp_norm(train if train else infos)
 
     if pts is not None:
         points = pts.xyz
@@ -127,19 +145,22 @@ def load_colmap_scene(
 
 def _downscale(img: np.ndarray, resolution_scale: float, max_width: int = 1600):
     """Resolution policy of the reference loadCam (utils/camera_utils.py:19-70):
-    images wider than 1600 px are downscaled (with a warning upstream)."""
+    the 1600-px cap COMPOSES with the requested scale
+    (global_down * resolution_scale), and output stays float [0, 1]."""
     h, w = img.shape[:2]
     scale = resolution_scale
-    if max_width > 0 and w / scale > max_width:
-        scale = w / max_width
+    if max_width > 0 and w > max_width:
+        scale = (w / max_width) * resolution_scale
     if scale == 1.0:
         return img
     from PIL import Image
-    im = Image.fromarray((img * 255).astype(np.uint8) if img.dtype != np.uint8
-                         else img)
+    was_float = img.dtype != np.uint8
+    im = Image.fromarray((img * 255).astype(np.uint8) if was_float else img)
     nw, nh = round(w / scale), round(h / scale)
     out = np.asarray(im.resize((nw, nh), Image.BILINEAR))
-    return out
+    # keep the caller's [0, 1] float convention (a uint8 return silently
+    # made downscaled ground truth 255x too bright)
+    return out.astype(np.float32) / 255.0 if was_float else out
 
 
 def load_view(info: CameraInfo, resolution_scale: float = 1.0,
@@ -159,10 +180,12 @@ def load_view(info: CameraInfo, resolution_scale: float = 1.0,
         d = np.asarray(Image.open(info.depth_path), dtype=np.float32)
         if d.ndim == 3:
             d = d[..., 0]
+        # reference first normalizes the 16-bit PNG by 2^16, THEN applies
+        # the per-image scale/offset fit (cameras.py:78-94 +
+        # camera_utils.py): raw-value application was ~65536x off
         dp = info.depth_params or {}
-        scale_v = float(dp.get("scale", 1.0 / 65535.0))
-        offset_v = float(dp.get("offset", 0.0))
-        inv = d * scale_v + offset_v
+        inv = d / float(1 << 16)
+        inv = inv * float(dp.get("scale", 1.0)) + float(dp.get("offset", 0.0))
         if inv.shape != (h, w):
             im = Image.fromarray(inv)
             inv = np.asarray(im.resize((w, h), Image.NEAREST))
