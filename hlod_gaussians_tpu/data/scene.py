@@ -86,6 +86,15 @@ def load_colmap_scene(
     if depths_dir and os.path.exists(dp_path):
         import json
         depth_params_all = json.load(open(dp_path))
+        # med_scale — the dataset-wide reliability anchor: median of the
+        # positive per-image scale fits (reference dataset_readers.py:195-206)
+        all_scales = np.array(
+            [v["scale"] for v in depth_params_all.values() if "scale" in v],
+            dtype=np.float64)
+        med_scale = (float(np.median(all_scales[all_scales > 0]))
+                     if (all_scales > 0).any() else 0.0)
+        for v in depth_params_all.values():
+            v["med_scale"] = med_scale
 
     infos = []
     for iid in sorted(images, key=lambda i: images[i].name):
@@ -174,24 +183,6 @@ def load_view(info: CameraInfo, resolution_scale: float = 1.0,
     h, w = img.shape[:2]
     chw = np.transpose(img, (2, 0, 1)).astype(np.float32)
 
-    invdepth = None
-    depth_mask = None
-    if info.depth_path and os.path.exists(info.depth_path):
-        d = np.asarray(Image.open(info.depth_path), dtype=np.float32)
-        if d.ndim == 3:
-            d = d[..., 0]
-        # reference first normalizes the 16-bit PNG by 2^16, THEN applies
-        # the per-image scale/offset fit (cameras.py:78-94 +
-        # camera_utils.py): raw-value application was ~65536x off
-        dp = info.depth_params or {}
-        inv = d / float(1 << 16)
-        inv = inv * float(dp.get("scale", 1.0)) + float(dp.get("offset", 0.0))
-        if inv.shape != (h, w):
-            im = Image.fromarray(inv)
-            inv = np.asarray(im.resize((w, h), Image.NEAREST))
-        invdepth = inv[None].astype(np.float32)
-        depth_mask = (invdepth > 0).astype(np.float32)
-
     alpha = None
     if info.alpha_path and os.path.exists(info.alpha_path):
         a = np.asarray(Image.open(info.alpha_path).convert("L"),
@@ -200,6 +191,35 @@ def load_view(info: CameraInfo, resolution_scale: float = 1.0,
             im = Image.fromarray(a)
             a = np.asarray(im.resize((w, h), Image.BILINEAR))
         alpha = a[None].astype(np.float32)
+
+    invdepth = None
+    depth_mask = None
+    dp = info.depth_params or {}
+    if (info.depth_path and os.path.exists(info.depth_path)
+            and float(dp.get("scale", 1.0)) > 0):
+        d = np.asarray(Image.open(info.depth_path), dtype=np.float32)
+        if d.ndim == 3:
+            d = d[..., 0]
+        # reference first normalizes the 16-bit PNG by 2^16, THEN applies
+        # the per-image scale/offset fit (cameras.py:78-94 +
+        # camera_utils.py): raw-value application was ~65536x off
+        inv = d / float(1 << 16)
+        inv = inv * float(dp.get("scale", 1.0)) + float(dp.get("offset", 0.0))
+        inv = np.maximum(inv, 0.0)
+        if inv.shape != (h, w):
+            im = Image.fromarray(inv)
+            inv = np.asarray(im.resize((w, h), Image.NEAREST))
+        invdepth = inv[None].astype(np.float32)
+        # depth reliability (reference cameras.py:85-94): start from the
+        # alpha mask (folded in) or ones, then ZERO the whole mask when the
+        # per-image scale fit strays outside [0.2, 5] x med_scale — on noisy
+        # mono-depth this is what keeps depth regularization from hurting
+        depth_mask = (alpha.copy() if alpha is not None
+                      else np.ones_like(invdepth))
+        scale = float(dp.get("scale", 1.0))
+        med_scale = float(dp.get("med_scale", 0.0))
+        if med_scale > 0 and not (0.2 * med_scale <= scale <= 5 * med_scale):
+            depth_mask = depth_mask * 0.0
 
     return make_camera(info.R, info.T, info.fovx, info.fovy, w, h,
                        primx=info.primx, primy=info.primy,

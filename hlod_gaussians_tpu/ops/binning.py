@@ -94,15 +94,15 @@ def compute_rects_tight(xy, ext, width: int, height: int, tile_w: int,
             jnp.where(empty, 0.0, min_y).astype(jnp.int32), rw, rh)
 
 
-def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
-                  tile_w: int, tile_h: int, max_dup: int,
-                  ext: Optional[jnp.ndarray] = None,
-                  reff2: Optional[jnp.ndarray] = None) -> TileBins:
-    """Build the tile-sorted (depth-ordered within tile) dup list.
+def _make_candidates(xy, depth, radius, valid, width: int, height: int,
+                     tile_w: int, tile_h: int, max_dup: int,
+                     ext: Optional[jnp.ndarray] = None,
+                     reff2: Optional[jnp.ndarray] = None):
+    """Shared candidate generation: per-dup-entry (tile_id, gid, keep).
 
-    With ext/reff2 (from project_gaussians) the tight alpha-aware coverage
-    is used; otherwise the reference's circle rects (radius) — the tests'
-    ground-truth configuration.
+    Entries are generated contiguously per DEPTH-SORTED Gaussian (the slot
+    index is the generation order), so one stable sort on tile id yields
+    depth order within every tile.
     """
     n = xy.shape[0]
     gw, gh = tile_grid(width, height, tile_w, tile_h)
@@ -202,6 +202,29 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
     tile_id = jnp.where(keep, ty * gw + tx, float(num_tiles)).astype(jnp.int32)
     gid_orig = g[7].astype(jnp.int32)
 
+    overflow = (total_cand > max_dup) | (total_f > float(max_dup))
+    return (tile_id, gid_orig, slot, keep, order, offsets_exc, touched_s,
+            total_cand, overflow)
+
+
+def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
+                  tile_w: int, tile_h: int, max_dup: int,
+                  ext: Optional[jnp.ndarray] = None,
+                  reff2: Optional[jnp.ndarray] = None) -> TileBins:
+    """Build the tile-sorted (depth-ordered within tile) dup list.
+
+    With ext/reff2 (from project_gaussians) the tight alpha-aware coverage
+    is used; otherwise the reference's circle rects (radius) — the tests'
+    ground-truth configuration.
+    """
+    gw, gh = tile_grid(width, height, tile_w, tile_h)
+    num_tiles = gw * gh
+    (tile_id, gid_orig, slot, keep, order, offsets_exc, touched_s,
+     total_cand, overflow) = _make_candidates(
+        xy, depth, radius, valid, width, height, tile_w, tile_h, max_dup,
+        ext=ext, reff2=reff2)
+    max_dup = tile_id.shape[0]
+
     # 3-payload sort: measured CHEAPER than a 2-payload sort + post-gather
     # of the gaussian id (448k 1-row gathers cost ~4 ms on v5e)
     sorted_tile, sorted_gid, sorted_gen = jax.lax.sort(
@@ -222,8 +245,7 @@ def bin_gaussians(xy, depth, radius, valid, width: int, height: int,
                     gen_counts=touched_s, gen_valid=keep,
                     num_dup=num_dup,
                     num_candidates=jnp.minimum(total_cand, max_dup),
-                    overflow=(total_cand > max_dup)
-                    | (total_f > float(max_dup)))
+                    overflow=overflow)
 
 
 class AlignedBins(NamedTuple):
@@ -241,6 +263,7 @@ class AlignedBins(NamedTuple):
     gen_counts: jnp.ndarray   # [N] int32
     order: jnp.ndarray        # [N] int32 depth permutation
     overflow: jnp.ndarray     # scalar bool
+    num_candidates: jnp.ndarray  # scalar int32 — rect entries before refinement
 
 
 def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
@@ -283,4 +306,84 @@ def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
                        gen_to_slot=gen_to_slot, gen_valid=bins.gen_valid,
                        gen_offsets=bins.gen_offsets,
                        gen_counts=bins.gen_counts, order=bins.order,
-                       overflow=bins.overflow)
+                       overflow=bins.overflow,
+                       num_candidates=bins.num_candidates)
+
+
+def bin_gaussians_aligned(xy, depth, radius, valid, width: int, height: int,
+                          tile_w: int, tile_h: int, max_dup: int,
+                          chunk: int,
+                          ext: Optional[jnp.ndarray] = None,
+                          reff2: Optional[jnp.ndarray] = None) -> AlignedBins:
+    """Fused bin+align: ONE stable sort emits the chunk-aligned layout.
+
+    Equivalent to ``align_bins(bin_gaussians(...), num_tiles, chunk)`` but
+    structurally cheaper (round-3 directive #2): instead of sorting the dup
+    list and then re-packing it with a `cap`-sized scatter + a table gather,
+    per-tile PADDING entries are injected before the sort so the sorted
+    list lands chunk-aligned by construction:
+
+    * a cheap key-only pre-sort + searchsorted yields per-tile counts
+      (the CUDA pipeline's identifyTileRanges, rasterizer_impl.cu:319-373);
+    * every tile contributes exactly ``(-count) % chunk`` padders — drawn
+      from a static [num_tiles, chunk-1] pool by rank mask, no gather —
+      keyed by their tile id; discarded padders key to num_tiles;
+    * ONE stable 3-payload sort of the concatenated list: real entries stay
+      depth-ordered within a tile (generation order is depth order), pads
+      land after them (concat order + stability), and every tile's segment
+      starts at a multiple of `chunk`.
+
+    TPU rationale: XLA sorts at this size are nearly free (~0.1 ms at 611k)
+    while the replaced scatter + gather measured ~5 ms (docs/KERNEL_DESIGN.md).
+    """
+    gw, gh = tile_grid(width, height, tile_w, tile_h)
+    num_tiles = gw * gh
+    (tile_id, gid_orig, slot, keep, order, offsets_exc, touched_s,
+     total_cand, overflow) = _make_candidates(
+        xy, depth, radius, valid, width, height, tile_w, tile_h, max_dup,
+        ext=ext, reff2=reff2)
+    md = tile_id.shape[0]
+    cap = md + num_tiles * (chunk - 1)
+    cap = -(-cap // chunk) * chunk
+
+    # per-tile counts: key-only sort + binary search (sort output unused
+    # beyond the bounds — XLA keeps it because the searchsorted needs it)
+    sorted_keys = jax.lax.sort(tile_id)
+    bounds = jnp.searchsorted(
+        sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:num_tiles]
+    padded = -(-counts // chunk) * chunk
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+
+    # static padder pool: tile t's padder of rank r is kept iff r < pad_ct[t]
+    pad_ct = padded - counts                                  # [NT] in [0, chunk)
+    r = jnp.arange(chunk - 1, dtype=jnp.int32)[None, :]       # [1, chunk-1]
+    t = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]       # [NT, 1]
+    pad_keys = jnp.where(r < pad_ct[:, None], t, num_tiles).reshape(-1)
+    n_fill = cap - md - pad_keys.shape[0]
+    fill = jnp.full((n_fill,), num_tiles, jnp.int32)
+
+    keys = jnp.concatenate([tile_id, pad_keys, fill])
+    gids = jnp.concatenate(
+        [gid_orig, jnp.zeros((cap - md,), jnp.int32)])
+    gens = jnp.concatenate([slot, jnp.full((cap - md,), md, jnp.int32)])
+    _, entry_gid, sorted_gen = jax.lax.sort(
+        (keys, gids, gens), num_keys=1, is_stable=True)
+
+    # generation -> aligned slot: invert by sorting on gen (pads carry
+    # gen == md and sort to the back; every real gen appears exactly once)
+    _, gen_to_slot = jax.lax.sort(
+        (sorted_gen, jnp.arange(cap, dtype=jnp.int32)), num_keys=1,
+        is_stable=True)
+    gen_to_slot = gen_to_slot[:md]
+
+    return AlignedBins(entry_gid=entry_gid, tile_starts=aligned_starts,
+                       tile_counts=counts,
+                       gen_to_slot=gen_to_slot, gen_valid=keep,
+                       gen_offsets=offsets_exc.astype(jnp.int32),
+                       gen_counts=touched_s, order=order,
+                       overflow=overflow,
+                       num_candidates=jnp.minimum(total_cand, md))

@@ -34,7 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hlod_gaussians_tpu.ops import rasterize_pallas as rp
-from hlod_gaussians_tpu.ops.binning import AlignedBins, align_bins, bin_gaussians, tile_grid
+from hlod_gaussians_tpu.ops.binning import (AlignedBins, align_bins,
+                                            bin_gaussians,
+                                            bin_gaussians_aligned, tile_grid)
 from hlod_gaussians_tpu.ops.rasterize_xla import RenderOut
 
 
@@ -211,13 +213,11 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
                           want_seen: bool = False,
                           interpret: bool = False) -> RenderOut:
     """bin + align + blend in one call (binning is not differentiated)."""
-    gw, gh = tile_grid(width, height, tile_w, tile_h)
-    bins = bin_gaussians(jax.lax.stop_gradient(xy),
-                         jax.lax.stop_gradient(depth), radius, valid,
-                         width, height, tile_w, tile_h, max_dup,
-                         ext=None if ext is None else jax.lax.stop_gradient(ext),
-                         reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
-    abins = align_bins(bins, gw * gh, rp.CHUNK)
+    abins = bin_gaussians_aligned(
+        jax.lax.stop_gradient(xy), jax.lax.stop_gradient(depth), radius,
+        valid, width, height, tile_w, tile_h, max_dup, rp.CHUNK,
+        ext=None if ext is None else jax.lax.stop_gradient(ext),
+        reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
     return rasterize_tiles(abins, xy, conic, opacity, color, invdepth_g, bg,
                            ts, kids, width=width, height=height,
                            tile_w=tile_w, tile_h=tile_h, t_eps=t_eps,

@@ -119,6 +119,33 @@ def _mm_mask(mask_bf, b):
     return (dot(b0f.astype(jnp.bfloat16)) + dot(b1)) + dot(b2)
 
 
+def _mm_dekker(a, b):
+    """``a @ b`` with BOTH operands exactly 3-way Dekker-split and the six
+    non-negligible cross products folded into ONE bf16 matmul over a
+    6x-wide contraction: lhs = [a0 a0 a0 a1 a1 a2], rhs = [b0;b1;b2;b0;b1;b0]
+    covers (i,j) with i+j <= 2; the dropped (1,2)/(2,1)/(2,2) terms are
+    <= 2^-27 relative — below the f32 accumulation rounding. Every bf16xbf16
+    product is exact in f32 (8+8 <= 24 mantissa bits), so the result matches
+    a HIGHEST f32 matmul at one single-pass matmul with K x6 instead of
+    HIGHEST's 6 full passes. Only worthwhile for SMALL K (the suffix/color
+    matmuls keep _mm_mask)."""
+    def split3(x):
+        x0 = x.astype(jnp.bfloat16)
+        r1 = x - x0.astype(jnp.float32)
+        x1 = r1.astype(jnp.bfloat16)
+        x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return x0, x1, x2
+
+    a0, a1, a2 = split3(a)
+    b0, b1, b2 = split3(b)
+    lhs = jnp.concatenate([a0, a0, a0, a1, a1, a2], axis=1)
+    rhs = jnp.concatenate([b0, b1, b2, b0, b1, b0], axis=0)
+    return jax.lax.dot_general(
+        lhs, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
 def _mm_split22(a, b):
     """``a @ b`` via a 2x2 Dekker split dropping the tail x tail term:
     3 single-pass bf16 matmuls, relative error ~2^-17 per term (vs 2^-24
@@ -471,6 +498,7 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 
     final_t = ft_ref[j]                   # [1, pix]
     n_contrib = nc_ref[j]
+    g4 = gimg_ref[j]                      # [4, pix] loop-invariant
     g0 = gimg_ref[j, 0:1]
     g1 = gimg_ref[j, 1:2]
     g2 = gimg_ref[j, 2:3]
@@ -531,7 +559,6 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 
         applied = pre & (aux["k"] + 1 <= n_contrib)
         a = jnp.where(applied, alpha, 0.0)
-        one_m = 1.0 - a
         lg = jnp.log1p(-a)
 
         chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
@@ -541,7 +568,6 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         contrib = a * t_before
 
         col = lambda i: chunk[:, i:i + 1]
-        cr, cg, cb, cd = col(_ER), col(_EG), col(_EB), col(_EID)
 
         # per-entry color grads (reduce over lanes; measured FASTER on the
         # VPU than the equivalent [CHUNK,pix]x[pix,4] MXU contraction)
@@ -556,13 +582,17 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         # contraction commutes into the matmul operand and ONE triangular
         # matmul over the g-weighted colors replaces four:
         #   sum_ch g_ch * Suf_k^ch = [usq @ (contrib * cdotg)]_k
-        cdotg = cr * g0 + cg * g1 + cb * g2 + cd * g3     # [CHUNK, pix]
+        # cdotg itself is a rank-4 outer-product sum = one tiny MXU matmul
+        # [CHUNK,4] @ [4,pix] (replaces 7 wide VPU passes); Dekker-split
+        # keeps it f32-exact
+        cdotg = _mm_dekker(chunk[:, _ER:_EID + 1], g4)    # [CHUNK, pix]
         pcg = contrib * cdotg
         suf_comb = _mm_mask(usq, pcg) + s_comb
 
-        # one shared division: (suffix + dT*final_t) / (1-a); dT*final_t is
+        # 1/(1-a) = exp(-log1p(-a)): the hw exp is ~3 VPU passes cheaper
+        # than an f32 divide, and lg is already in registers; dT*final_t is
         # loop-invariant (hoisted to dTf outside the chunk walk)
-        dal = cdotg * t_before - (suf_comb + dTf) / one_m
+        dal = cdotg * t_before - (suf_comb + dTf) * jnp.exp(-lg)
         dal = jnp.where(applied, dal, 0.0)
 
         dmy = dal * aux["dalpha_dmy"] if use_lod else dal

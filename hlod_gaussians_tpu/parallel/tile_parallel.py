@@ -22,7 +22,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hlod_gaussians_tpu.config import RasterizerConfig
 from hlod_gaussians_tpu.ops import gaussian_math, sh as sh_ops
-from hlod_gaussians_tpu.ops.binning import align_bins, bin_gaussians, tile_grid
+from hlod_gaussians_tpu.ops.binning import (align_bins, bin_gaussians,
+                                            bin_gaussians_aligned, tile_grid)
 
 
 def render_tile_parallel(
@@ -79,11 +80,11 @@ def render_tile_parallel(
         if cfg.backend == "pallas":
             from hlod_gaussians_tpu.ops import rasterize_pallas as rp
             from hlod_gaussians_tpu.ops.rasterize import rasterize_tiles
-            bins = bin_gaussians(
+            abins = bin_gaussians_aligned(
                 jax.lax.stop_gradient(xy_local),
                 jax.lax.stop_gradient(proj.depth), proj.radius, valid_b,
-                width, band_h, cfg.tile_w, cfg.tile_h, cfg.max_dup // n_dev)
-            abins = align_bins(bins, gw * (gh // n_dev), rp.CHUNK)
+                width, band_h, cfg.tile_w, cfg.tile_h, cfg.max_dup // n_dev,
+                rp.CHUNK)
             out = rasterize_tiles(
                 abins, xy_local, proj.conic, proj.opacity, color,
                 1.0 / jnp.maximum(proj.depth, 1e-6), bg,

@@ -95,21 +95,18 @@ def render_arrays(
     # tight alpha-aware coverage on the production path; the scan path keeps
     # the reference's circle rects (it is the parity ground truth)
     tight = cfg.backend == "pallas" and cfg.tight_binning
-    bins = bin_gaussians(
-        jax.lax.stop_gradient(xy), jax.lax.stop_gradient(proj.depth),
-        proj.radius, proj.valid,
-        width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup,
-        ext=jax.lax.stop_gradient(proj.ext) if tight else None,
-        reff2=jax.lax.stop_gradient(proj.reff2) if tight else None)
-
     invdepth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
     if cfg.backend == "pallas":
-        from hlod_gaussians_tpu.ops.binning import align_bins
+        from hlod_gaussians_tpu.ops.binning import bin_gaussians_aligned
         from hlod_gaussians_tpu.ops import rasterize as rast
         from hlod_gaussians_tpu.ops import rasterize_pallas as rp
-        from hlod_gaussians_tpu.ops.binning import tile_grid
-        gw, gh = tile_grid(width, height, cfg.tile_w, cfg.tile_h)
-        abins = align_bins(bins, gw * gh, rp.CHUNK)
+        abins = bin_gaussians_aligned(
+            jax.lax.stop_gradient(xy), jax.lax.stop_gradient(proj.depth),
+            proj.radius, proj.valid,
+            width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup, rp.CHUNK,
+            ext=jax.lax.stop_gradient(proj.ext) if tight else None,
+            reff2=jax.lax.stop_gradient(proj.reff2) if tight else None)
+        bins = abins
         out = rast.rasterize_tiles(
             abins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
             ts if use_lod else None, kids if use_lod else None,
@@ -119,6 +116,10 @@ def render_arrays(
             # fixtures) runs them in interpret mode
             interpret=jax.default_backend() == "cpu")
     else:
+        bins = bin_gaussians(
+            jax.lax.stop_gradient(xy), jax.lax.stop_gradient(proj.depth),
+            proj.radius, proj.valid,
+            width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup)
         out = rasterize_scan(
             bins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
             ts if use_lod else None, kids if use_lod else None,

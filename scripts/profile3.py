@@ -101,6 +101,17 @@ def main():
     ms, _ = timeit(bin_align, proj)
     print(f"bin+align fused: {ms:7.2f} ms", flush=True)
 
+    from hlod_gaussians_tpu.ops.binning import bin_gaussians_aligned
+
+    @jax.jit
+    def bin_aligned_sort(proj):
+        return bin_gaussians_aligned(
+            proj.xy, proj.depth, proj.radius, proj.valid, width, height,
+            TW, TH, MD, rp.CHUNK, ext=proj.ext, reff2=proj.reff2)
+
+    ms, ab2 = timeit(bin_aligned_sort, proj)
+    print(f"bin_gaussians_aligned (sort-fused): {ms:7.2f} ms", flush=True)
+
     # entry gather (as rasterize.py builds entry_data)
     @jax.jit
     def egather(proj, color, ab):

@@ -2,6 +2,11 @@
 probes, 60-step Adam gradient fit. The /verify skill runs this; it must
 print VERIFY OK. CPU-only (forces jax_platforms=cpu before backend use)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp

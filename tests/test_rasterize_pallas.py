@@ -402,3 +402,64 @@ def test_early_stop_sticky_across_chunks():
     g_ref = np.asarray(jax.grad(loss_ref)(proj.opacity))
     s = np.abs(g_ref).max() + 1e-12
     np.testing.assert_allclose(g_pal / s, g_ref / s, atol=3e-4)
+
+
+@pytest.mark.parametrize("tight", [False, True])
+def test_bin_aligned_equals_align_bins(tight):
+    """Fused sort-based alignment == bin_gaussians + align_bins (round-3
+    directive #2): same tile ranges, same per-tile entry lists, same
+    generation->slot map for valid generation entries."""
+    from hlod_gaussians_tpu.ops.binning import (align_bins,
+                                                bin_gaussians_aligned,
+                                                tile_grid)
+
+    xyz, scales, quats, ops, colors, cam = make_scene(n=150, seed=9, big=True)
+    proj = project(xyz, scales, quats, ops, cam)
+    gw, gh = tile_grid(W, H, TILE_W, TILE_H)
+    num_tiles = gw * gh
+    kw = dict(ext=proj.ext, reff2=proj.reff2) if tight else {}
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP, **kw)
+    ab_ref = align_bins(bins, num_tiles, 128)
+    ab_new = bin_gaussians_aligned(proj.xy, proj.depth, proj.radius,
+                                   proj.valid, W, H, TILE_W, TILE_H,
+                                   MAX_DUP, 128, **kw)
+
+    assert ab_new.entry_gid.shape == ab_ref.entry_gid.shape
+    np.testing.assert_array_equal(np.asarray(ab_new.tile_starts),
+                                  np.asarray(ab_ref.tile_starts))
+    np.testing.assert_array_equal(np.asarray(ab_new.tile_counts),
+                                  np.asarray(ab_ref.tile_counts))
+    starts = np.asarray(ab_ref.tile_starts)
+    counts = np.asarray(ab_ref.tile_counts)
+    gid_ref = np.asarray(ab_ref.entry_gid)
+    gid_new = np.asarray(ab_new.entry_gid)
+    assert counts.sum() > 0
+    for t in range(num_tiles):
+        s, c = starts[t], counts[t]
+        np.testing.assert_array_equal(gid_new[s:s + c], gid_ref[s:s + c])
+    valid = np.asarray(ab_ref.gen_valid)
+    assert valid.any()
+    np.testing.assert_array_equal(
+        np.asarray(ab_new.gen_to_slot)[valid],
+        np.asarray(ab_ref.gen_to_slot)[valid])
+    np.testing.assert_array_equal(np.asarray(ab_new.gen_valid), valid)
+    np.testing.assert_array_equal(np.asarray(ab_new.gen_offsets),
+                                  np.asarray(ab_ref.gen_offsets))
+    np.testing.assert_array_equal(np.asarray(ab_new.gen_counts),
+                                  np.asarray(ab_ref.gen_counts))
+    np.testing.assert_array_equal(np.asarray(ab_new.order),
+                                  np.asarray(ab_ref.order))
+    assert bool(ab_new.overflow) == bool(ab_ref.overflow)
+    assert int(ab_new.num_candidates) == int(ab_ref.num_candidates)
+
+
+def test_bin_aligned_overflow_flag():
+    from hlod_gaussians_tpu.ops.binning import bin_gaussians_aligned
+
+    xyz, scales, quats, ops, colors, cam = make_scene(n=300, seed=2, big=True)
+    proj = project(xyz, scales, quats, ops, cam)
+    ab = bin_gaussians_aligned(proj.xy, proj.depth, proj.radius, proj.valid,
+                               W, H, TILE_W, TILE_H, 64, 128)
+    assert bool(ab.overflow)

@@ -72,3 +72,51 @@ def test_test_txt_split(tmp_path):
     test_names = {c.image_name for c in scene.test_cameras}
     assert test_names == {"img_001", "img_004"}
     assert len(scene.train_cameras) == 4
+
+
+def test_depth_reliability_gate(tmp_path):
+    """med_scale gate (reference cameras.py:85-94 + dataset_readers.py:
+    195-206): an image whose depth-scale fit strays outside
+    [0.2, 5] x med_scale gets its depth mask zeroed; inliers keep the
+    alpha-mask-folded mask; scale <= 0 disables depth entirely."""
+    import json
+
+    from PIL import Image
+
+    root = str(tmp_path / "scene3")
+    os.makedirs(root)
+    write_scene(root)
+
+    dd = os.path.join(root, "depths")
+    os.makedirs(dd)
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        d16 = rng.integers(1000, 60000, (30, 40)).astype(np.uint16)
+        Image.fromarray(d16).save(os.path.join(dd, f"img_{i:03d}.png"))
+
+    # scales: img_000..004 near 1.0 (inliers), img_001 wildly off (outlier),
+    # img_002 scale 0 (no fit)
+    params = {f"img_{i:03d}": {"scale": 1.0 + 0.01 * i, "offset": 0.0}
+              for i in range(6)}
+    params["img_001"]["scale"] = 100.0
+    params["img_002"]["scale"] = 0.0
+    with open(os.path.join(root, "sparse", "0", "depth_params.json"),
+              "w") as f:
+        json.dump(params, f)
+
+    scene = load_colmap_scene(root, depths_dir="depths")
+    by_name = {c.image_name: c for c in scene.train_cameras
+               + scene.test_cameras}
+
+    assert by_name["img_000"].depth_params["med_scale"] > 0
+
+    inlier = load_view(by_name["img_000"])
+    assert inlier.invdepth is not None
+    assert float(np.asarray(inlier.depth_mask).max()) == 1.0
+
+    outlier = load_view(by_name["img_001"])
+    assert outlier.invdepth is not None
+    assert float(np.asarray(outlier.depth_mask).max()) == 0.0
+
+    nofit = load_view(by_name["img_002"])
+    assert nofit.invdepth is None and nofit.depth_mask is None
