@@ -15,34 +15,46 @@ import os
 
 
 def cmd_full_train(args):
-    from hlod_gaussians_tpu.config import (OptimizationConfig, PostConfig,
-                                           RasterizerConfig)
+    from hlod_gaussians_tpu.config import (ModelConfig, OptimizationConfig,
+                                           PostConfig, RasterizerConfig)
     from hlod_gaussians_tpu.data.scene import load_colmap_scene
     from hlod_gaussians_tpu.pipeline import full_train
     from hlod_gaussians_tpu.utils.metrics import MetricsLogger
 
-    scene = load_colmap_scene(args.source_path, images_dir=args.images,
-                              depths_dir=args.depths, eval_split=args.eval)
+    mcfg = ModelConfig(
+        source_path=args.source_path, model_path=args.output,
+        images=args.images, depths=args.depths,
+        alpha_masks=args.alpha_masks, eval=args.eval,
+        resolution=args.resolution, white_background=args.white_background,
+        skip_scale_big_gauss=args.skip_scale_big_gauss,
+        scaffold_file=args.scaffold_file, skybox_num=args.skybox_num,
+        train_test_exp=args.train_test_exp)
+    scene = load_colmap_scene(mcfg.source_path, images_dir=mcfg.images,
+                              depths_dir=mcfg.depths,
+                              alpha_masks_dir=mcfg.alpha_masks,
+                              eval_split=mcfg.eval,
+                              train_test_exp=mcfg.train_test_exp)
     pcfg = full_train.PipelineConfig(
         coarse_iters=args.coarse_iters, chunk_iters=args.chunk_iters,
-        post_iters=args.post_iters, skybox_num=args.skybox_num,
+        post_iters=args.post_iters, skybox_num=mcfg.skybox_num,
         chunk_size=args.chunk_size)
-    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+    out_dir = mcfg.model_path
+    logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"),
                            echo=True)
     cfg = RasterizerConfig(backend=args.backend, tile_w=16, tile_h=8,
                            max_dup=1 << args.max_dup_log2)
     merged = full_train.run_pipeline(
-        scene, output_dir=args.output, pcfg=pcfg, cfg=cfg,
+        scene, output_dir=out_dir, pcfg=pcfg, cfg=cfg, mcfg=mcfg,
         opt=OptimizationConfig(), post=PostConfig(), logger=logger)
     print(f"merged hierarchy: {merged.nodes.shape[0]} nodes -> "
-          f"{os.path.join(args.output, 'merged.dhier')}")
+          f"{os.path.join(out_dir, 'merged.dhier')}")
 
 
 def cmd_eval(args):
     import numpy as np
 
     from hlod_gaussians_tpu import eval as eval_mod
-    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.config import PipelineConfig, RasterizerConfig
     from hlod_gaussians_tpu.data import dhier as dhier_io
     from hlod_gaussians_tpu.data.scene import load_colmap_scene, load_view
     from hlod_gaussians_tpu.ops.lpips import make_lpips
@@ -80,10 +92,22 @@ def cmd_eval(args):
     cams = [load_view(ci) for ci in scene.test_cameras[:args.max_views]]
     gts = [np.asarray(c.image) for c in cams]
     levels = [float(x) for x in args.levels.split(",")]
+    pipe = PipelineConfig(antialiasing=args.antialiasing, debug=args.debug)
     results = eval_mod.eval_views(
         state, cams, gts, levels, level_is_tau=args.tau, boxes=boxes,
         cfg=RasterizerConfig(backend=args.backend, tile_w=16, tile_h=8),
+        antialiasing=pipe.antialiasing,
         lpips_fn=make_lpips(args.lpips_weights))
+    if pipe.debug:
+        # reference --debug dumps raster state on anomaly (train.py's
+        # debug path); here: the per-limit node-count curve that localizes
+        # a bad cut before rendering is even attempted
+        from hlod_gaussians_tpu import debug as debug_mod
+        cam0 = cams[0]
+        zdir = np.asarray(cam0.world_view)[:3, 2]
+        curve = debug_mod.gaussians_per_limit(
+            state, np.asarray(cam0.campos), zdir, limits=levels)
+        print(f"[debug] nodes per level {levels}: {curve}")
     for r in results:
         print(json.dumps(dict(level=r.level, psnr=round(r.psnr, 3),
                               ssim=round(r.ssim, 4), lpips=r.lpips,
@@ -192,6 +216,18 @@ def cmd_viewer(args):
             # and the render's ts/kids use the SAME granularity
             ctrl.update(int(prev_n))
 
+        render_mask = active
+        if getattr(args, "occlusion_cull", False):
+            # reference hierarchy_viewer.py:280-282: render only cut nodes
+            # that contributed to a low-res pre-pass (the maintained cut
+            # itself is untouched — culling is a per-frame render filter)
+            from hlod_gaussians_tpu.models import reorder
+            render_mask = reorder.occlusion_cull(
+                state, active,
+                jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
+                jnp.asarray(cam.campos.astype(np.float32)),
+                jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy))
+
         shs_r = act.shs
         itab_r = itab
         if sliders.get("render_SPTs", 0) > 0:
@@ -207,8 +243,8 @@ def cmd_viewer(args):
             jnp.asarray(cam.world_view), jnp.asarray(cam.full_proj),
             jnp.asarray(cam.campos.astype(np.float32)),
             jnp.float32(cam.tan_fovx), jnp.float32(cam.tan_fovy),
-            jnp.zeros(3), max(target, 1e-9), None, active, pcache, None,
-            itab_r,
+            jnp.zeros(3), max(target, 1e-9), None, render_mask, pcache,
+            None, itab_r,
             sh_degree=state.sh_degree, width=bw, height=bh,
             budget=budget, n_skybox=state.n_skybox, cfg=cfg)
         img = np.asarray(jnp.clip(out.image, 0, 1))
@@ -265,7 +301,15 @@ def main(argv=None):
     t.add_argument("--output", "-o", required=True)
     t.add_argument("--images", default="images")
     t.add_argument("--depths", default="")
+    t.add_argument("--alpha_masks", default="")
     t.add_argument("--eval", action="store_true")
+    t.add_argument("--resolution", "-r", type=int, default=-1)
+    t.add_argument("--white_background", action="store_true")
+    t.add_argument("--train_test_exp", action="store_true",
+                   help="train exposures on the visible half of test views")
+    t.add_argument("--skip_scale_big_gauss", action="store_true")
+    t.add_argument("--scaffold_file", default="",
+                   help="saved scaffold.npz: skip the coarse stage")
     t.add_argument("--coarse_iters", type=int, default=30_000)
     t.add_argument("--chunk_iters", type=int, default=30_000)
     t.add_argument("--post_iters", type=int, default=15_000)
@@ -285,6 +329,10 @@ def main(argv=None):
     e.add_argument("--max_views", type=int, default=50)
     e.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     e.add_argument("--lpips_weights", default=None)
+    e.add_argument("--antialiasing", action="store_true",
+                   help="EWA convolution AA (the alt-rasterizer variant)")
+    e.add_argument("--debug", action="store_true",
+                   help="print the per-level cut-size curve")
     e.set_defaults(fn=cmd_eval)
 
     v = sub.add_parser("viewer", help="SIBR-compatible live view server")
@@ -292,6 +340,9 @@ def main(argv=None):
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=6009)
     v.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    v.add_argument("--occlusion-cull", action="store_true",
+                   help="low-res visibility pre-pass culls the cut per "
+                        "frame (reference hierarchy_viewer.py:280-282)")
     v.set_defaults(fn=cmd_viewer)
 
     c = sub.add_parser("create-hierarchy", help="offline hierarchy build")

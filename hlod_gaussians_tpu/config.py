@@ -31,9 +31,11 @@ class ModelConfig:
     pretrained: str = ""
     skybox_num: int = 0
     scaffold_file: str = ""
-    bounds_file: str = ""
+    # NOTE: the reference's bounds_file (a center.txt/extent.txt dir fed to
+    # create_from_pcd) has no field here — chunk bounds flow through
+    # pipeline/chunking.Chunk directly.
     skybox_locked: bool = False
-    cap_max: int = -1  # MCMC capacity target (-1 = off)
+    cap_max: int = -1  # MCMC capacity target (-1 = keep PostConfig.max_cap)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +63,6 @@ class OptimizationConfig:
     exposure_lr_final: float = 0.0001
     exposure_lr_delay_steps: int = 5000
     exposure_lr_delay_mult: float = 0.001
-    percent_dense: float = 0.0001
     lambda_dssim: float = 0.2
     densification_interval: int = 300
     opacity_reset_interval: int = 3000
@@ -70,10 +71,11 @@ class OptimizationConfig:
     densify_grad_threshold: float = 0.015
     depth_l1_weight_init: float = 1.0
     depth_l1_weight_final: float = 0.01
-    # MCMC (3DGS-as-MCMC densification)
-    noise_lr: float = 5e5
-    scale_reg: float = 0.01
-    opacity_reg: float = 0.01
+    # NOTE deliberately absent vs the reference's OptimizationParams:
+    # percent_dense (its densify criterion is commented out in the fork,
+    # gaussian_model.py:1357,1411 — the live criterion is grad*radii*op^0.2)
+    # and the MCMC trio noise_lr/scale_reg/opacity_reg, which live here as
+    # PostConfig.mcmc_noise_lr / lambda_scaling / lambda_opacity.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +113,9 @@ class RasterizerConfig:
     dilation: float = 0.3
     # Cull Gaussians whose max scale exceeds this (forward.cu:351, biglimit).
     big_limit: float = float("inf")
+    # Tiles per Pallas grid program: batches the ~2-4us fixed per-program
+    # cost; keep num_tiles/tpb around a few hundred programs.
+    tpb: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,14 +129,17 @@ class PostConfig:
     mcmc_noise_lr: float = 0.0
     lambda_scaling: float = 0.0
     lambda_opacity: float = 0.01
-    gaussian_interpolation: bool = False
-    gradient_propagation: bool = False
-    propagation_strength: float = 1.0
-    use_bounding_spheres: bool = False
+    # NOTE deliberately absent vs the fork's train_post constants:
+    # Gaussian_Interpolation / Gradient_Propagation / Propagation_Strength /
+    # lambda_hierarchy exist there as config only — every line that would
+    # consume them is commented out (train_post.py:563,826-856).
+    # exact subtree bounding spheres for the SPT frustum culls; False = the
+    # node's own 3*max_scale (the reference DEFAULT, train_post.py:82 — but
+    # its culls may then clip protruding SPT members; we default to safe)
+    use_bounding_spheres: bool = True
     use_occlusion_culling: bool = False
     use_frustum_culling: bool = True
     use_mip_respawn: bool = False
-    lambda_hierarchy: float = 0.0
     spt_root_volume: float = 100.0
     spt_target_granularity: float = 0.00228
     min_spt_size: int = 256
@@ -186,6 +194,8 @@ class MeshConfig:
     The reference scales out via SLURM job-per-chunk
     (scripts/full_train.py:79-236); here chunks map onto a `data` mesh axis of
     a single jax program and pixels/tiles shard over the `tile` axis.
+    `parallel.data_parallel.make_mesh` consumes this (axis names included);
+    `parallel.tile_parallel` takes `tile_axis` as its band axis.
     """
 
     data_axis: str = "data"

@@ -53,6 +53,16 @@ class ColmapPoints(NamedTuple):
     errors: np.ndarray   # [N]
 
 
+class ColmapPointsFull(NamedTuple):
+    """Columnar points WITH ids and track lengths (needed by the known-pose
+    alignment, reference preprocess/transform_colmap.py:96-112)."""
+    ids: np.ndarray        # [N] int64 point3D ids
+    xyz: np.ndarray        # [N,3]
+    rgb: np.ndarray        # [N,3] uint8
+    errors: np.ndarray     # [N]
+    track_lens: np.ndarray  # [N] int64 — number of observing images
+
+
 def qvec2rotmat(qvec):
     """COLMAP (w,x,y,z) quaternion -> rotation matrix
     (scene/colmap_loader.py:31-41)."""
@@ -131,6 +141,46 @@ def read_points3d_bin(path) -> ColmapPoints:
             (track_len,) = struct.unpack("<Q", f.read(8))
             f.seek(8 * track_len, os.SEEK_CUR)
     return ColmapPoints(xyz.astype(np.float32), rgb, err.astype(np.float32))
+
+
+def read_points3d_bin_full(path) -> ColmapPointsFull:
+    """Like read_points3d_bin but keeps ids and track lengths."""
+    with open(path, "rb") as f:
+        (num,) = struct.unpack("<Q", f.read(8))
+        ids = np.empty((num,), np.int64)
+        xyz = np.empty((num, 3))
+        rgb = np.empty((num, 3), np.uint8)
+        err = np.empty((num,))
+        tl = np.empty((num,), np.int64)
+        for i in range(num):
+            data = struct.unpack("<QdddBBBd", f.read(43))
+            ids[i] = data[0]
+            xyz[i] = data[1:4]
+            rgb[i] = data[4:7]
+            err[i] = data[7]
+            (track_len,) = struct.unpack("<Q", f.read(8))
+            tl[i] = track_len
+            f.seek(8 * track_len, os.SEEK_CUR)
+    return ColmapPointsFull(ids, xyz.astype(np.float32), rgb,
+                            err.astype(np.float32), tl)
+
+
+def write_points3d_bin_full(path, pts: ColmapPointsFull):
+    """Write points keeping their original ids; track_lens are preserved as
+    zero-stub (image_id 0) track entries so the track LENGTH round-trips
+    (the alignment output zeroes them, like the reference's
+    transform_colmap.py:160-172 which writes empty image_ids)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", pts.xyz.shape[0]))
+        for i in range(pts.xyz.shape[0]):
+            f.write(struct.pack("<QdddBBBd", int(pts.ids[i]),
+                                *pts.xyz[i].astype(float),
+                                *[int(v) for v in pts.rgb[i]],
+                                float(pts.errors[i])))
+            tl = int(pts.track_lens[i])
+            f.write(struct.pack("<Q", tl))
+            if tl:
+                f.write(b"\x00" * (8 * tl))
 
 
 def read_cameras_txt(path) -> Dict[int, ColmapCamera]:

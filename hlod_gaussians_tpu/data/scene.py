@@ -33,6 +33,7 @@ class CameraInfo(NamedTuple):
     depth_path: str = ""
     depth_params: Optional[dict] = None
     alpha_path: str = ""
+    is_test: bool = False
 
 
 class SceneInfo(NamedTuple):
@@ -71,8 +72,14 @@ def load_colmap_scene(
     eval_split: bool = False,
     test_hold: int = 8,
     sparse_subdir: str = "sparse/0",
+    train_test_exp: bool = False,
 ) -> SceneInfo:
-    """readColmapSceneInfo equivalent (scene/dataset_readers.py:181-270)."""
+    """readColmapSceneInfo equivalent (scene/dataset_readers.py:181-270).
+
+    ``train_test_exp`` keeps test views in the TRAIN list too (flagged
+    is_test so load_view can half-mask them), matching
+    dataset_readers.py:258 — per-image exposures then train on the
+    visible half of every view."""
     sparse = os.path.join(source_path, sparse_subdir)
     if not os.path.isdir(sparse):
         sparse = os.path.join(source_path, "sparse")
@@ -131,6 +138,9 @@ def load_colmap_scene(
         test = [c for i, c in enumerate(infos) if i % test_hold == 0]
     else:
         train, test = infos, []
+    test = [c._replace(is_test=True) for c in test]
+    if train_test_exp:
+        train = train + test
 
     # extent from TRAIN cameras only (the reference computes getNerfppNorm
     # on train_cam_infos; test cameras must not affect densification
@@ -173,8 +183,15 @@ def _downscale(img: np.ndarray, resolution_scale: float, max_width: int = 1600):
 
 
 def load_view(info: CameraInfo, resolution_scale: float = 1.0,
-              max_width: int = 1600, exposure_idx: int = 0) -> Camera:
-    """Load one training view into a Camera pytree (reference loadCam)."""
+              max_width: int = 1600, exposure_idx: int = 0,
+              train_test_exp: bool = False,
+              is_test_dataset: bool = False) -> Camera:
+    """Load one training view into a Camera pytree (reference loadCam).
+
+    With ``train_test_exp`` a test view trains on HALF the image only
+    (reference cameras.py:63-67): the left half is masked out for the
+    test dataset, the right half for train — so exposure fitting sees the
+    view without leaking the evaluated half."""
     from PIL import Image
 
     img = np.asarray(Image.open(info.image_path).convert("RGB"),
@@ -191,6 +208,15 @@ def load_view(info: CameraInfo, resolution_scale: float = 1.0,
             im = Image.fromarray(a)
             a = np.asarray(im.resize((w, h), Image.BILINEAR))
         alpha = a[None].astype(np.float32)
+    if train_test_exp and info.is_test:
+        if alpha is None:
+            alpha = np.ones((1, h, w), np.float32)
+        else:
+            alpha = alpha.copy()
+        if is_test_dataset:
+            alpha[..., : w // 2] = 0.0
+        else:
+            alpha[..., w // 2:] = 0.0
 
     invdepth = None
     depth_mask = None

@@ -52,6 +52,7 @@ def eval_views(
     cfg: RasterizerConfig = RasterizerConfig(),
     k_max: int = 1024,
     bg=(0.0, 0.0, 0.0),
+    antialiasing: bool = False,
     lpips_fn=None,
     warn=None,
 ) -> List[EvalResult]:
@@ -102,7 +103,8 @@ def eval_views(
                 cam.tan_fovy, jnp.asarray(np.asarray(bg, np.float32)),
                 max(target, 1e-12), boxes, None, pcache, None, itab,
                 sh_degree=state.sh_degree, width=cam.width, height=cam.height,
-                budget=budget, n_skybox=state.n_skybox, cfg=cfg, k_max=k_max)
+                budget=budget, n_skybox=state.n_skybox, cfg=cfg, k_max=k_max,
+                antialiasing=antialiasing)
             img = jnp.clip(res.image, 0.0, 1.0)
             gt_j = jnp.asarray(gt)
             psnr_sum += float(ssim_ops.psnr(img, gt_j))

@@ -82,8 +82,13 @@ def build_spt(
     target_granularity: float,
     min_spt_size: int = 100,
     max_depth: int = 64,
+    use_bounding_spheres: bool = True,
 ) -> SPTForest:
-    """Host-side vectorized build (numpy level sweeps, no per-SPT loops)."""
+    """Host-side vectorized build (numpy level sweeps, no per-SPT loops).
+
+    ``use_bounding_spheres`` selects exact subtree spheres for the frustum
+    bound (build_hierarchical_SPT's use_bounding_spheres,
+    gaussian_model.py:184-304); False keeps the node's own 3*max_scale."""
     c = nodes.shape[0]
     is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
     cond = (np.prod(scales, axis=-1) > root_volume) & ~is_leaf & alive
@@ -191,7 +196,7 @@ def build_spt(
     ut_max_scale = scales[ut_global].max(-1)
     # bounding radius: own 3*max_scale; SPT leaves take the subtree sphere
     bound = 3.0 * ut_max_scale.copy()
-    if n_spt:
+    if n_spt and use_bounding_spheres:
         # radius of each SPT = max over members of center_dist + 3*max_scale
         reach = center_dist + 3.0 * scales.max(-1)
         spt_reach = np.zeros(n_spt, np.float32)
@@ -201,7 +206,7 @@ def build_spt(
                                         spt_reach[ut_spt_id[is_spt_leaf]])
     # upward propagation (gaussian_model.py:300-318)
     utp = ut_nodes[:, NODE_PARENT]
-    for _ in range(max_depth):
+    for _ in range(max_depth if use_bounding_spheres else 0):
         valid = utp >= 0
         if not valid.any():
             break

@@ -247,6 +247,31 @@ def create_from_points(
     return state
 
 
+def create_from_gaussian_ply(ply, capacity: int, n_exposures: int = 1
+                             ) -> GaussianState:
+    """Initialize from a saved 3DGS point cloud (the reference's
+    --pretrained path, scene/__init__.py:82-83 create_from_pt): raw
+    parameters are adopted verbatim, no knn re-init."""
+    n = ply.xyz.shape[0]
+    if n > capacity:
+        raise ValueError(f"capacity {capacity} < ply points {n}")
+    sh_degree = {0: 0, 3: 1, 8: 2, 15: 3}[ply.f_rest.shape[1]]
+    state = empty_state(capacity, sh_degree, n_exposures, n_skybox=0)
+    q = ply.quat / np.maximum(
+        np.linalg.norm(ply.quat, axis=-1, keepdims=True), 1e-12)
+    return dataclasses.replace(
+        state,
+        xyz=state.xyz.at[:n].set(jnp.asarray(ply.xyz)),
+        f_dc=state.f_dc.at[:n].set(jnp.asarray(ply.f_dc)),
+        f_rest=state.f_rest.at[:n].set(jnp.asarray(ply.f_rest)),
+        log_scale=state.log_scale.at[:n].set(jnp.asarray(ply.log_scale)),
+        quat=state.quat.at[:n].set(jnp.asarray(q.astype(np.float32))),
+        opacity_logit=state.opacity_logit.at[:n].set(
+            jnp.asarray(ply.opacity.reshape(n, 1).astype(np.float32))),
+        alive=state.alive.at[:n].set(True),
+    )
+
+
 def select_scaffold_ring(scaffold_xyz: np.ndarray, center: np.ndarray,
                          extent0: float, n_skybox: int) -> np.ndarray:
     """Scaffold rows a chunk conditions on (reference

@@ -43,12 +43,12 @@ from hlod_gaussians_tpu.ops.rasterize_xla import RenderOut
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _blend(cfg, entry_data, tile_starts, tile_counts):
     (num_tiles, gw, tile_h, tile_w, width, height, t_eps, alpha_min,
-     use_lod, want_seen, interpret) = cfg
+     use_lod, want_seen, tpb, interpret) = cfg
     return rp.blend_forward(
         entry_data, tile_starts, tile_counts, num_tiles=num_tiles, gw=gw,
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
         t_eps=t_eps, alpha_min=alpha_min, use_lod=use_lod,
-        want_seen=want_seen, interpret=interpret)
+        want_seen=want_seen, tpb=tpb, interpret=interpret)
 
 
 def _blend_fwd(cfg, entry_data, tile_starts, tile_counts):
@@ -59,14 +59,14 @@ def _blend_fwd(cfg, entry_data, tile_starts, tile_counts):
 
 def _blend_bwd(cfg, res, g):
     (num_tiles, gw, tile_h, tile_w, width, height, t_eps, alpha_min,
-     use_lod, want_seen, interpret) = cfg
+     use_lod, want_seen, tpb, interpret) = cfg
     entry_data, tile_starts, tile_counts, final_t, n_contrib = res
     g_img4, g_final_t, _g_nc, _g_seen = g
     egrads = rp.blend_backward(
         entry_data, tile_starts, tile_counts, final_t, n_contrib,
         g_img4, g_final_t, num_tiles=num_tiles, gw=gw, tile_h=tile_h,
         tile_w=tile_w, width=width, height=height, alpha_min=alpha_min,
-        use_lod=use_lod, interpret=interpret)
+        use_lod=use_lod, tpb=tpb, interpret=interpret)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return egrads, zero_i(tile_starts), zero_i(tile_counts)
 
@@ -122,7 +122,7 @@ _expand.defvjp(_expand_fwd, _expand_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_w", "tile_h", "t_eps",
-                     "alpha_min", "want_seen", "interpret"))
+                     "alpha_min", "want_seen", "tpb", "interpret"))
 def rasterize_tiles(
     abins: AlignedBins,
     xy: jnp.ndarray,          # [N,2]
@@ -137,6 +137,7 @@ def rasterize_tiles(
     width: int, height: int, tile_w: int, tile_h: int,
     t_eps: float = 1e-4, alpha_min: float = 1.0 / 255.0,
     want_seen: bool = False,
+    tpb: int = 4,
     interpret: bool = False,
 ) -> RenderOut:
     """Pallas twin of rasterize_scan (same RenderOut contract). With
@@ -168,7 +169,7 @@ def rasterize_tiles(
     entry_data = _expand(feats, abins)
 
     cfg = (num_tiles, gw, tile_h, tile_w, width, height, float(t_eps),
-           float(alpha_min), use_lod, want_seen, interpret)
+           float(alpha_min), use_lod, want_seen, tpb, interpret)
     img4_t, final_t_t, n_contrib_t, seen_e = _blend(
         cfg, entry_data, abins.tile_starts, abins.tile_counts)
 
@@ -211,6 +212,7 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
                           alpha_min: float = 1.0 / 255.0,
                           ext=None, reff2=None,
                           want_seen: bool = False,
+                          tpb: int = 4,
                           interpret: bool = False) -> RenderOut:
     """bin + align + blend in one call (binning is not differentiated)."""
     abins = bin_gaussians_aligned(
@@ -222,4 +224,4 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
                            ts, kids, width=width, height=height,
                            tile_w=tile_w, tile_h=tile_h, t_eps=t_eps,
                            alpha_min=alpha_min, want_seen=want_seen,
-                           interpret=interpret)
+                           tpb=tpb, interpret=interpret)

@@ -35,12 +35,20 @@ from hlod_gaussians_tpu.train import flat
 
 
 def make_mesh(n_data: int, n_gauss: int = 1,
-              devices: Optional[list] = None) -> Mesh:
+              devices: Optional[list] = None,
+              data_axis: str = "data", gauss_axis: str = "gauss") -> Mesh:
     if devices is None:
         devices = jax.devices()[: n_data * n_gauss]
     arr = mesh_utils.create_device_mesh((n_data, n_gauss),
                                         devices=np.asarray(devices))
-    return Mesh(arr, ("data", "gauss"))
+    return Mesh(arr, (data_axis, gauss_axis))
+
+
+def make_mesh_from_config(mcfg, devices: Optional[list] = None) -> Mesh:
+    """Mesh from a config.MeshConfig (axis names + shape): the `tile` axis
+    doubles as the per-Gaussian shard axis of shard_train_state."""
+    return make_mesh(mcfg.data, mcfg.tile, devices=devices,
+                     data_axis=mcfg.data_axis, gauss_axis=mcfg.tile_axis)
 
 
 def shard_train_state(ts: flat.FlatTrainState, mesh: Mesh) -> flat.FlatTrainState:
@@ -51,7 +59,8 @@ def shard_train_state(ts: flat.FlatTrainState, mesh: Mesh) -> flat.FlatTrainStat
 
     def spec_for(x):
         if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == cap:
-            return NamedSharding(mesh, P("gauss", *([None] * (x.ndim - 1))))
+            return NamedSharding(
+                mesh, P(mesh.axis_names[1], *([None] * (x.ndim - 1))))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(lambda x: jax.device_put(x, spec_for(x)), ts)
@@ -165,5 +174,5 @@ def dp_train_step(
 def batch_sharding(mesh: Mesh):
     """Sharding for per-view batched arrays (leading dim = views)."""
     def f(ndim):
-        return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+        return NamedSharding(mesh, P(mesh.axis_names[0], *([None] * (ndim - 1))))
     return f

@@ -91,6 +91,7 @@ def render_tile_parallel(
                 ts_r if use_lod else None, kids_r if use_lod else None,
                 width=width, height=band_h, tile_w=cfg.tile_w,
                 tile_h=cfg.tile_h, t_eps=cfg.t_eps, alpha_min=cfg.alpha_min,
+                tpb=cfg.tpb,
                 interpret=jax.default_backend() == "cpu")
         else:
             from hlod_gaussians_tpu.ops.rasterize_xla import rasterize_scan

@@ -42,7 +42,7 @@ class PipelineConfig:
     coarse_capacity: int = 1 << 20
     chunk_capacity: int = 1 << 21
     densification_interval: int = 300
-    post_densify_interval: int = 5_000
+    post_densify_interval: int = -1     # <=0: use PostConfig.densify_interval
     opacity_reset_interval: int = 3_000
     densify_from_iter: int = 500
     chunk_size: float = 100.0
@@ -72,6 +72,7 @@ def train_flat_scene(
     logger: Optional[MetricsLogger] = None,
     stage: str = "chunk",
     initial_state: Optional[gm.GaussianState] = None,
+    bg=None,
 ) -> flat.FlatTrainState:
     """The train_single.py loop: step + densify/reset on schedule.
 
@@ -90,10 +91,11 @@ def train_flat_scene(
                                     seed=pcfg.seed, walk=pcfg.mh_walk)
     w, h = views[0].width, views[0].height
 
+    bg = jnp.zeros(3) if bg is None else bg
     for it in range(n_iters):
         v = views[int(order[it])]
         ts, aux = flat.train_step(
-            ts, *_cam_arrays(v), v.image, jnp.zeros(3),
+            ts, *_cam_arrays(v), v.image, bg,
             alpha_mask=v.alpha_mask,
             mono_invdepth=None if v.invdepth is None else v.invdepth[0],
             depth_mask=None if v.depth_mask is None else v.depth_mask[0],
@@ -183,12 +185,26 @@ def post_optimize(
         cut = spt_mod.spt_cut_budgeted(
             forest, dummy, v.campos, v.full_proj,
             jnp.int32(post.max_gaussian_budget),
-            grow=post.distance_multiplier_until_budget)
+            grow=post.distance_multiplier_until_budget,
+            use_frustum=post.use_frustum_culling)
+        ws_mask = cut.gaussian_mask
+        if post.use_occlusion_culling:
+            # drop working-set rows invisible in a low-res pre-render
+            # (train_post.py:344-351 culls the coarse cut the same way)
+            from hlod_gaussians_tpu.models import reorder
+            ws_mask = reorder.occlusion_cull(
+                ts.gaussians, ws_mask, *_cam_arrays(v))
         ts, aux = post_mod.post_train_step(
-            ts, cut.gaussian_mask, *_cam_arrays(v), v.image, jnp.zeros(3),
+            ts, ws_mask, *_cam_arrays(v), v.image, jnp.zeros(3),
             scene_extent, opt=opt, post=post, cfg=cfg, width=w, height=h,
-            k_max=pcfg.k_max, sh_degree=d.sh_degree)
-        if it > 0 and it % pcfg.post_densify_interval == 0:
+            # the fork trains post at SH degree Max_SH_Degree=1
+            # (train_post.py:109,151) — higher bands keep their built values
+            k_max=pcfg.k_max,
+            sh_degree=min(d.sh_degree, post.max_sh_degree))
+        densify_every = (pcfg.post_densify_interval
+                         if pcfg.post_densify_interval > 0
+                         else post.densify_interval)
+        if it > 0 and it % densify_every == 0:
             key, sub = jax.random.split(key)
             extra_dead = None
             if post.use_mip_respawn:
@@ -246,6 +262,15 @@ def train_coarse_scaffold(
     return ts
 
 
+def resolution_args(mcfg) -> tuple:
+    """(resolution_scale, max_width) for load_view from ModelConfig.resolution
+    (reference utils/camera_utils.py:19-54): -1 = native capped at 1600 px;
+    1/2/4/8 = explicit downscale factor, no cap."""
+    if mcfg.resolution in (1, 2, 4, 8):
+        return float(mcfg.resolution), 0
+    return 1.0, 1600
+
+
 def run_pipeline(
     scene: SceneInfo,
     view_loader: Callable[[object], "Camera"] = None,
@@ -255,6 +280,7 @@ def run_pipeline(
     opt: OptimizationConfig = OptimizationConfig(),
     post: PostConfig = PostConfig(),
     cfg: RasterizerConfig = RasterizerConfig(),
+    mcfg: Optional["ModelConfig"] = None,
     logger: Optional[MetricsLogger] = None,
     skip_if_exists: bool = False,
     keep_running: bool = False,
@@ -262,28 +288,45 @@ def run_pipeline(
     """Full pipeline on a loaded scene. Returns the merged hierarchy.
 
     view_loader maps a CameraInfo to a Camera pytree (defaults to
-    data.scene.load_view).
+    data.scene.load_view at ModelConfig.resolution).
 
     ``skip_if_exists`` resumes a partially-completed run from output_dir
     artifacts (the reference's --skip_if_exists, scripts/full_train.py:58,82,
     158); ``keep_running`` continues past failed chunks (--keep_running,
-    scripts/full_train.py:59)."""
+    scripts/full_train.py:59). ``mcfg`` supplies the reference ModelParams
+    knobs: resolution, white_background, skip_scale_big_gauss, sh_degree,
+    scaffold_file (resume the coarse stage from a saved scaffold), cap_max
+    (overrides PostConfig.max_cap when > 0)."""
+    import dataclasses as _dc
+
+    from hlod_gaussians_tpu.config import ModelConfig
     from hlod_gaussians_tpu.utils import checkpoint as ckpt
+
+    mcfg = mcfg or ModelConfig()
+    if mcfg.cap_max > 0:
+        post = _dc.replace(post, max_cap=mcfg.cap_max)
+    bg = jnp.ones(3) if mcfg.white_background else jnp.zeros(3)
 
     if view_loader is None:
         # one exposure slot per image (reference assigns exposures per
         # image; a constant exposure_idx=0 would collapse them all into
         # one shared matrix)
-        views_all = [load_view(ci, exposure_idx=i)
+        scale, max_w = resolution_args(mcfg)
+        views_all = [load_view(ci, resolution_scale=scale, max_width=max_w,
+                               exposure_idx=i,
+                               train_test_exp=mcfg.train_test_exp)
                      for i, ci in enumerate(scene.train_cameras)]
     else:
         views_all = [view_loader(ci) for ci in scene.train_cameras]
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
 
-    # 1) coarse scaffold over every view (random bg, frozen xyz, skybox)
+    # 1) coarse scaffold over every view (random bg, frozen xyz, skybox);
+    # a pre-trained scaffold_file (reference --scaffold_file) skips it
     coarse_path = os.path.join(output_dir, "scaffold.npz") if output_dir else ""
-    if skip_if_exists and coarse_path and os.path.exists(coarse_path):
+    if mcfg.scaffold_file:
+        ts_coarse = ckpt.load_flat_state(mcfg.scaffold_file)
+    elif skip_if_exists and coarse_path and os.path.exists(coarse_path):
         ts_coarse = ckpt.load_flat_state(coarse_path)
     else:
         ts_coarse = train_coarse_scaffold(
@@ -335,13 +378,14 @@ def run_pipeline(
             # the trained scaffold around this chunk and prepend it
             init_state = gm.create_with_scaffold(
                 ts_coarse.gaussians, chunk.center, float(chunk.extent[0]),
-                pts, cols, pcfg.chunk_capacity, sh_degree=3,
+                pts, cols, pcfg.chunk_capacity, sh_degree=mcfg.sh_degree,
                 n_exposures=len(cams))
             ts_chunk = train_flat_scene(
                 cams, pts, cols, scene.extent, pcfg.chunk_iters,
                 pcfg.chunk_capacity, opt=opt, cfg=cfg, pcfg=pcfg,
-                sh_degree=3, logger=logger, stage=f"chunk{chunk.index}",
-                initial_state=init_state)
+                sh_degree=mcfg.sh_degree, logger=logger,
+                stage=f"chunk{chunk.index}", initial_state=init_state,
+                scale_big_gauss=not mcfg.skip_scale_big_gauss, bg=bg)
             d = state_to_hierarchy(ts_chunk)
             # the merge hierarchy has ~2n-1 nodes for n trained leaves, so
             # a chunk trained past half capacity would not fit the chunk
@@ -410,22 +454,35 @@ def run_pipeline_no_chunks(
     opt: OptimizationConfig = OptimizationConfig(),
     post: PostConfig = PostConfig(),
     cfg: RasterizerConfig = RasterizerConfig(),
+    mcfg: Optional["ModelConfig"] = None,
     logger: Optional[MetricsLogger] = None,
 ) -> dhier_io.DHier:
     """Single-scene variant without chunking (reference train_no_chunks.py:
     98-265): coarse scaffold over every view -> hierarchy built directly on
     the scaffold -> in-process post-optimization. No merge step (one root).
-    """
+    ``mcfg.pretrained`` (a 3DGS .ply) replaces the coarse training stage
+    with the saved point cloud (reference --pretrained,
+    scene/__init__.py:82-83)."""
+    from hlod_gaussians_tpu.config import ModelConfig
+
+    mcfg = mcfg or ModelConfig()
     if view_loader is None:
         view_loader = load_view
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
     views_all = [view_loader(ci) for ci in scene.train_cameras]
 
-    ts_coarse = train_coarse_scaffold(
-        views_all, scene.points, scene.colors, scene.extent,
-        pcfg.coarse_iters, pcfg.coarse_capacity, opt=opt, cfg=cfg,
-        pcfg=pcfg, skybox_num=pcfg.skybox_num, logger=logger)
+    if mcfg.pretrained:
+        from hlod_gaussians_tpu.data import ply as ply_io
+        g = gm.create_from_gaussian_ply(
+            ply_io.load_gaussian_ply(mcfg.pretrained), pcfg.coarse_capacity,
+            n_exposures=len(views_all))
+        ts_coarse = flat.init_flat_train(g)
+    else:
+        ts_coarse = train_coarse_scaffold(
+            views_all, scene.points, scene.colors, scene.extent,
+            pcfg.coarse_iters, pcfg.coarse_capacity, opt=opt, cfg=cfg,
+            pcfg=pcfg, skybox_num=pcfg.skybox_num, logger=logger)
 
     d = state_to_hierarchy(ts_coarse)
     ts_post = post_optimize(

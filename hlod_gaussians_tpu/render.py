@@ -112,6 +112,7 @@ def render_arrays(
             ts if use_lod else None, kids if use_lod else None,
             width=width, height=height, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
             t_eps=cfg.t_eps, alpha_min=cfg.alpha_min, want_seen=want_seen,
+            tpb=cfg.tpb,
             # Mosaic kernels only exist for TPU; CPU (tests, golden
             # fixtures) runs them in interpret mode
             interpret=jax.default_backend() == "cpu")

@@ -223,7 +223,7 @@ def post_train_step(
         grads[k] = jnp.where(sky.reshape((cap,) + (1,) * (gk.ndim - 1)), 0.0, gk)
 
     lrs = optim.param_lrs(opt, ts.step, scene_extent,
-                          lr_multiplier=1.0)
+                          lr_multiplier=post.lr_multiplier)
     visible = out.visible
     new_params, adam = optim.sparse_adam_update(params, grads, ts.adam, lrs,
                                                 visible=visible)
@@ -267,6 +267,11 @@ def densify_round(
     (train_post.py:707-788): add_new_gs toward cap_max (5% growth), then
     relocate dead leaves. ``extra_dead`` feeds the MIP respawn of
     never-visible SPT entries (spt.mip_respawn_mask)."""
+    if not post.mcmc_densification:
+        # reference train_post runs NO densification without the MCMC flag
+        # (every grow/relocate site is inside `if MCMC_Densification`)
+        return ts, dict(n_added_pairs=0, n_relocated=0,
+                        size=jnp.sum(ts.gaussians.alive))
     g = ts.gaussians
     k1, k2 = jax.random.split(key)
     size = jnp.sum(g.alive)
@@ -298,4 +303,5 @@ def rebuild_spt(state: GaussianState, *, post: PostConfig = PostConfig(),
         alive, root,
         root_volume=post.spt_root_volume,
         target_granularity=post.spt_target_granularity,
-        min_spt_size=post.min_spt_size, max_depth=max_depth)
+        min_spt_size=post.min_spt_size, max_depth=max_depth,
+        use_bounding_spheres=post.use_bounding_spheres)

@@ -110,3 +110,24 @@ def test_section_timers():
     with t.section("a"):
         pass
     assert t.counts["a"] == 2 and t.totals["a"] >= 0
+
+
+def test_post_optimize_with_occlusion_culling():
+    """use_occlusion_culling wiring (reference train_post.py:344-351): the
+    working-set cut is refined by a low-res visibility pre-pass. Smoke:
+    the flag routes through post_optimize and training stays finite."""
+    pts, cols, views = synthetic_views(seed=7)
+    ts = full_train.train_flat_scene(
+        views, pts, cols, 5.0, n_iters=5, capacity=256,
+        opt=OptimizationConfig(densify_until_iter=0), cfg=CFG,
+        pcfg=full_train.PipelineConfig(k_max=256, mh_walk=False),
+        sh_degree=1, scale_big_gauss=False)
+    d = full_train.state_to_hierarchy(ts)
+    post = PostConfig(spt_root_volume=1e-6, min_spt_size=4,
+                      lambda_opacity=0.0, use_occlusion_culling=True)
+    pcfg = full_train.PipelineConfig(post_densify_interval=10_000,
+                                     k_max=256, mh_walk=False)
+    ts_post = full_train.post_optimize(
+        d, views, 5.0, n_iters=4, capacity=1024,
+        opt=OptimizationConfig(), post=post, cfg=CFG, pcfg=pcfg)
+    assert np.isfinite(float(jnp.sum(ts_post.gaussians.xyz)))

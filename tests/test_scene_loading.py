@@ -120,3 +120,49 @@ def test_depth_reliability_gate(tmp_path):
 
     nofit = load_view(by_name["img_002"])
     assert nofit.invdepth is None and nofit.depth_mask is None
+
+
+def test_train_test_exp_half_mask(tmp_path):
+    """train_test_exp (reference dataset_readers.py:258 + cameras.py:63-67):
+    test views join the train list flagged is_test, and load_view masks the
+    right half of their alpha (train dataset)."""
+    root = str(tmp_path / "scene4")
+    os.makedirs(root)
+    write_scene(root)
+    scene = load_colmap_scene(root, eval_split=True, test_hold=3,
+                              train_test_exp=True)
+    assert len(scene.train_cameras) == 6          # 4 train + 2 test
+    test_in_train = [c for c in scene.train_cameras if c.is_test]
+    assert len(test_in_train) == 2
+
+    cam = load_view(test_in_train[0], train_test_exp=True)
+    a = np.asarray(cam.alpha_mask)
+    w = a.shape[-1]
+    assert (a[..., w // 2:] == 0).all() and (a[..., : w // 2] == 1).all()
+
+    # without the flag nothing is masked
+    cam2 = load_view(test_in_train[0])
+    assert cam2.alpha_mask is None
+
+
+def test_create_from_gaussian_ply(tmp_path):
+    from hlod_gaussians_tpu.data import ply as ply_io
+    from hlod_gaussians_tpu.models import gaussians as gm
+
+    rng = np.random.default_rng(0)
+    n = 20
+    g = ply_io.GaussianPly(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        f_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        f_rest=rng.normal(size=(n, 15, 3)).astype(np.float32),
+        opacity=rng.normal(size=(n,)).astype(np.float32),
+        log_scale=rng.normal(size=(n, 3)).astype(np.float32),
+        quat=np.tile(np.asarray([1, 0, 0, 0], np.float32), (n, 1)))
+    p = str(tmp_path / "g.ply")
+    ply_io.save_gaussian_ply(p, g)
+    state = gm.create_from_gaussian_ply(ply_io.load_gaussian_ply(p), 32)
+    assert state.sh_degree == 3
+    assert int(np.asarray(state.alive).sum()) == n
+    np.testing.assert_allclose(np.asarray(state.xyz)[:n], g.xyz, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.opacity_logit)[:n, 0],
+                               g.opacity, atol=1e-6)
