@@ -111,6 +111,7 @@ def cmd_eval(args):
     for r in results:
         print(json.dumps(dict(level=r.level, psnr=round(r.psnr, 3),
                               ssim=round(r.ssim, 4), lpips=r.lpips,
+                              gmsd=round(r.gmsd, 5),
                               mean_rendered=r.mean_rendered)))
 
 

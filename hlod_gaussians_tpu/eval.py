@@ -23,6 +23,7 @@ from hlod_gaussians_tpu import render as render_mod
 from hlod_gaussians_tpu.config import RasterizerConfig
 from hlod_gaussians_tpu.models import gaussians as gm
 from hlod_gaussians_tpu.models.gaussians import GaussianState
+from hlod_gaussians_tpu.ops import perceptual
 from hlod_gaussians_tpu.ops import ssim as ssim_ops
 from hlod_gaussians_tpu.utils.camera import Camera
 
@@ -35,7 +36,8 @@ class EvalResult:
     level: float
     psnr: float
     ssim: float
-    lpips: Optional[float]
+    lpips: Optional[float]       # None without local VGG weights
+    gmsd: float                  # weights-free perceptual (lower = better)
     mean_rendered: float
 
 
@@ -88,7 +90,7 @@ def eval_views(
              opacities=act.opacities, shs=act.shs), state.nodes)
     out: List[EvalResult] = []
     for level in levels:
-        psnr_sum = ssim_sum = lpips_sum = n_sum = 0.0
+        psnr_sum = ssim_sum = lpips_sum = gmsd_sum = n_sum = 0.0
         n_truncated = n_capped = 0
         for cam, gt in zip(cameras, gt_images):
             if level_is_tau:
@@ -109,6 +111,7 @@ def eval_views(
             gt_j = jnp.asarray(gt)
             psnr_sum += float(ssim_ops.psnr(img, gt_j))
             ssim_sum += float(ssim_ops.ssim(img, gt_j))
+            gmsd_sum += float(perceptual.gmsd(img, gt_j))
             if lpips_fn is not None:
                 lpips_sum += float(lpips_fn(img, gt_j))
             n_truncated += int(bool(res.truncated))
@@ -124,5 +127,6 @@ def eval_views(
         out.append(EvalResult(
             level=level, psnr=psnr_sum / m, ssim=ssim_sum / m,
             lpips=(lpips_sum / m) if lpips_fn is not None else None,
+            gmsd=gmsd_sum / m,
             mean_rendered=n_sum / m))
     return out

@@ -79,9 +79,12 @@ def make_lpips(weights_path: Optional[str] = None
     @jax.jit
     def lpips(img1, img2):
         def prep(img):
-            x = img[None] * 2.0 - 1.0                      # [-1, 1]
-            x = (x - _SHIFT.reshape(1, 3, 1, 1)) / _SCALE.reshape(1, 3, 1, 1)
-            return x
+            # PARITY QUIRK: the reference wrapper z-scores the [0,1] image
+            # DIRECTLY with the [-1,1]-era constants — render_hierarchy.py
+            # :113 feeds clamped [0,1] renders and modules/networks.py:50-54
+            # applies (x - mean)/std with no *2-1 mapping. Match it exactly.
+            x = img[None]
+            return (x - _SHIFT.reshape(1, 3, 1, 1)) / _SCALE.reshape(1, 3, 1, 1)
         f1 = _vgg_features(params, prep(img1))
         f2 = _vgg_features(params, prep(img2))
         total = 0.0
@@ -89,7 +92,8 @@ def make_lpips(weights_path: Optional[str] = None
             d = (_normalize(a) - _normalize(b)) ** 2
             w = params.get(f"lin{i}_w")
             if w is not None:
-                d = jnp.sum(d * jnp.maximum(w, 0.0), axis=1, keepdims=True)
+                # 1x1 conv, no bias, no clamp (modules/networks.py:23-30)
+                d = jnp.sum(d * w.reshape(1, -1, 1, 1), axis=1, keepdims=True)
             else:
                 d = jnp.mean(d, axis=1, keepdims=True)
             total = total + jnp.mean(d)
