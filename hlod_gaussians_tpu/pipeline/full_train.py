@@ -46,6 +46,9 @@ class PipelineConfig:
     opacity_reset_interval: int = 3_000
     densify_from_iter: int = 500
     chunk_size: float = 100.0
+    # chunk point window = chunk box padded by this fraction of chunk_size
+    # (make_chunk.py's padded point boxes)
+    chunk_point_padding: float = 2.0
     k_max: int = 1024
     mh_walk: bool = True            # cache-coherent view schedule
     seed: int = 0
@@ -338,6 +341,7 @@ def run_pipeline(
 
     # 2) chunks (falls back to one whole-scene "chunk")
     chunks = chunking.make_chunks(scene, chunk_size=pcfg.chunk_size,
+                                  point_padding=pcfg.chunk_point_padding,
                                   min_n_cams=1, min_points=1)
     if not chunks:
         chunks = [chunking.Chunk(index=(0, 0),
@@ -371,7 +375,12 @@ def run_pipeline(
             centers.append(chunk.center)
             continue
         try:
-            cams = [views_all[info_to_idx[id(ci)]] for ci in chunk.cameras]
+            # chunk-LOCAL exposure slots: the chunk state sizes its exposure
+            # table to len(cams), so the views' global exposure indices must
+            # be remapped or distinct images silently alias one slot
+            cams = [dataclasses.replace(views_all[info_to_idx[id(ci)]],
+                                        exposure_idx=j)
+                    for j, ci in enumerate(chunk.cameras)]
             pts = scene.points[chunk.point_mask]
             cols = scene.colors[chunk.point_mask]
             # scaffold conditioning (gaussian_model.py:866-919): ring-select

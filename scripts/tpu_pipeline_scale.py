@@ -1,0 +1,208 @@
+"""At-scale end-to-end pipeline on the real TPU (round-3 directive #3).
+
+220k-leaf, 4-chunk synthetic scene through the FULL composed pipeline —
+coarse scaffold -> scaffold-conditioned chunk training -> hierarchy build
+-> SPT post-optimization (with one MCMC densify round per chunk) -> merge
+-> tau-sweep eval on held-out views. Records per-stage wall-clock (parsed
+from the metrics jsonl) + tau PSNR/SSIM/GMSD into PIPELINE_r03.json.
+
+Scale targets (VERDICT.md round-3 #3): >=200k leaves, >=4 chunks,
+>=400k merged nodes, tree depth > 10, graceful tau curve.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hlod_gaussians_tpu import eval as eval_mod, render as render_mod
+    from hlod_gaussians_tpu.config import (ModelConfig, OptimizationConfig,
+                                           PostConfig, RasterizerConfig)
+    from hlod_gaussians_tpu.data.scene import SceneInfo
+    from hlod_gaussians_tpu.models import gaussians as gm
+    from hlod_gaussians_tpu.pipeline import full_train
+    from hlod_gaussians_tpu.train import post as post_mod
+    from hlod_gaussians_tpu.utils.camera import make_camera
+    from hlod_gaussians_tpu.utils.metrics import MetricsLogger
+
+    W = H = 512
+    CFG = RasterizerConfig(backend="pallas", tile_w=16, tile_h=16,
+                           max_dup=1 << 20, tight_binning=True)
+    CAP = 1 << 18
+
+    # ---- ground truth: 4 spatial clusters, 55k Gaussians each ----------
+    rng = np.random.default_rng(7)
+    per = 55_000
+    centers = np.array([[-1.5, -1.5, 5.0], [1.5, -1.5, 5.0],
+                        [-1.5, 1.5, 5.0], [1.5, 1.5, 5.0]], np.float32)
+    pts = np.concatenate([
+        (rng.normal(size=(per, 3)) * [0.8, 0.8, 0.5] + c).astype(np.float32)
+        for c in centers])
+    n = pts.shape[0]
+    cols = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    gt_state = gm.create_from_points(pts, cols, capacity=CAP, sh_degree=1,
+                                     opacity_init=0.8)
+    act = gm.activate(gt_state)
+
+    # cameras: 6 per cluster aimed at it + 8 global orbit; every 5th view
+    # held out for eval
+    def cam_at(pos, look):
+        fwd = look - pos
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        # rows of world->cam linear block = (right, up, fwd); camera pytree
+        # wants R = cam-to-world rotation
+        Rwc = np.stack([right, up2, fwd], axis=0)
+        T = -Rwc @ pos
+        return make_camera(Rwc.T, T, 1.0, 1.0, W, H)
+
+    # 6 cams ring per cluster (radius 1.1 keeps each ring inside its own
+    # 2.7-wide camera-grid cell -> exactly a 2x2 chunking) + 4 global
+    # eval-only cams
+    cams = []
+    for c in centers:
+        for k in range(6):
+            ang = 2 * np.pi * (k + 0.5) / 6
+            pos = c + np.array([1.1 * np.cos(ang), 1.1 * np.sin(ang), -3.5],
+                               np.float32)
+            cams.append(cam_at(pos.astype(np.float64), c.astype(np.float64)))
+    global_cams = []
+    for k in range(4):
+        ang = 2 * np.pi * k / 4
+        pos = np.array([2.0 * np.cos(ang), 2.0 * np.sin(ang), -2.0])
+        global_cams.append(cam_at(pos, np.array([0.0, 0.0, 5.0])))
+    cams = cams + global_cams
+
+    t0 = time.perf_counter()
+    views = []
+    for i, cam in enumerate(cams):
+        out = render_mod.render_arrays(
+            act.means3d, act.scales, act.quats, act.opacities, act.shs,
+            act.valid, cam.world_view, cam.full_proj, cam.campos,
+            cam.tan_fovx, cam.tan_fovy, jnp.zeros(3),
+            sh_degree=1, width=W, height=H, cfg=CFG, k_max=1024)
+        assert not bool(out.truncated), f"GT render {i} truncated"
+        views.append(dataclasses.replace(cam, image=out.image,
+                                         exposure_idx=i))
+    print(f"GT renders: {len(views)} views in "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
+
+    # train: 5 of 6 per-cluster ring cams; test: the 6th of each ring + the
+    # 4 global orbit cams (global cams NEVER train — they also keep the
+    # camera-grid chunking at exactly 2x2)
+    train_views = [v for i, v in enumerate(views[:24]) if i % 6 != 0]
+    test_views = [v for i, v in enumerate(views[:24]) if i % 6 == 0] \
+        + views[24:]
+
+    class FakeInfo:
+        def __init__(self, v):
+            self.v = v
+            self.R = np.eye(3)
+            self.T = -np.asarray(v.campos)
+
+    scene = SceneInfo(points=pts, colors=cols,
+                      train_cameras=[FakeInfo(v) for v in train_views],
+                      test_cameras=[], extent=6.0,
+                      center=np.zeros(3, np.float32))
+
+    pcfg = full_train.PipelineConfig(
+        coarse_iters=600, chunk_iters=1500, post_iters=800, skybox_num=1024,
+        coarse_capacity=CAP, chunk_capacity=CAP, k_max=1024, mh_walk=True,
+        densification_interval=10_000, densify_from_iter=10_000,
+        opacity_reset_interval=100_000, post_densify_interval=400,
+        chunk_size=2.7, chunk_point_padding=0.15)
+    opt = OptimizationConfig(iterations=1500, densify_until_iter=0,
+                             densify_grad_threshold=1e8)
+    post = PostConfig(spt_root_volume=1e-3, min_spt_size=64,
+                      lambda_opacity=0.0, grow_fraction=0.005,
+                      max_sh_degree=1)
+    mcfg = ModelConfig(sh_degree=1)
+
+    mpath = "/tmp/tpu_pipe_scale/metrics.jsonl"
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    logger = MetricsLogger(mpath)
+    t0 = time.perf_counter()
+    merged = full_train.run_pipeline(
+        scene, view_loader=lambda ci: ci.v, output_dir="/tmp/tpu_pipe_scale",
+        pcfg=pcfg, opt=opt, post=post, cfg=CFG, mcfg=mcfg, logger=logger)
+    t_total = time.perf_counter() - t0
+    logger.close()
+    print(f"pipeline total: {t_total:.0f}s, merged nodes "
+          f"{merged.nodes.shape[0]}", flush=True)
+    assert merged.nodes.shape[0] >= 400_000, merged.nodes.shape
+
+    # stage wall-clock from the metrics stream (first->last ts per stage)
+    stages = {}
+    for line in open(mpath):
+        d = json.loads(line)
+        s = d.get("stage", "?").split("(")[0].rstrip("0123456789")
+        lo, hi = stages.get(s, (d["ts"], d["ts"]))
+        stages[s] = (min(lo, d["ts"]), max(hi, d["ts"]))
+    stage_walls = {s: round(hi - lo, 1) for s, (lo, hi) in stages.items()}
+    print("stage walls:", stage_walls, flush=True)
+
+    # tree depth sanity (deep-tree coverage the toy r02 scene lacked)
+    from hlod_gaussians_tpu.models.gaussians import NODE_DEPTH
+    depth = int(merged.nodes[:, NODE_DEPTH].max())
+    print(f"max tree depth: {depth}", flush=True)
+    assert depth > 10, depth
+
+    cap_m = 1 << int(np.ceil(np.log2(merged.pos.shape[0] + 1)))
+    st = post_mod.create_from_dhier(merged, capacity=cap_m)
+    gts = [np.asarray(v.image) for v in test_views]
+    taus = [0.0, 3.0, 6.0, 15.0]
+    t0 = time.perf_counter()
+    tau_results = eval_mod.eval_views(
+        st, test_views, gts, levels=taus, level_is_tau=True,
+        budget=1 << 19, cfg=CFG, k_max=1024, warn=lambda *a, **k: None)
+    sweep = []
+    for tau, r in zip(taus, tau_results):
+        print(f"tau {tau:g}: PSNR {r.psnr:.2f} SSIM {r.ssim:.3f} "
+              f"GMSD {r.gmsd:.4f} rendered {r.mean_rendered:.0f}",
+              flush=True)
+        sweep.append(dict(tau=tau, psnr=round(r.psnr, 3),
+                          ssim=round(r.ssim, 4), gmsd=round(r.gmsd, 5),
+                          mean_rendered=round(r.mean_rendered, 1)))
+    print(f"tau sweep: {time.perf_counter() - t0:.0f}s", flush=True)
+    assert sweep[0]["psnr"] > 20.0, sweep
+    assert sweep[0]["mean_rendered"] > sweep[-1]["mean_rendered"]
+
+    rec = dict(
+        provenance="single v5e via remote tunnel; synthetic 4-cluster "
+                   "scene, 220k GT leaves, 512x512, 28 train / 8 test "
+                   "views; full composed pipeline (coarse->chunks->"
+                   "hierarchy->post+MCMC->merge)",
+        pipeline_seconds=round(t_total, 1),
+        stage_walls=stage_walls,
+        merged_nodes=int(merged.nodes.shape[0]),
+        max_tree_depth=depth,
+        n_chunks=4,
+        tau_sweep=sweep)
+    with open(os.path.join(ROOT, "PIPELINE_r03.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print("TPU PIPELINE SCALE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
