@@ -43,8 +43,12 @@ def main():
     from hlod_gaussians_tpu.utils.metrics import MetricsLogger
 
     W = H = 512
+    # training renders ~60k-gaussian chunks; GT + merged-eval renders the
+    # full 220k/440k sets and needs the deeper dup capacity
     CFG = RasterizerConfig(backend="pallas", tile_w=16, tile_h=16,
                            max_dup=1 << 20, tight_binning=True)
+    CFG_FULL = RasterizerConfig(backend="pallas", tile_w=16, tile_h=16,
+                                max_dup=1 << 22, tight_binning=True)
     CAP = 1 << 18
 
     # ---- ground truth: 4 spatial clusters, 55k Gaussians each ----------
@@ -100,7 +104,7 @@ def main():
             act.means3d, act.scales, act.quats, act.opacities, act.shs,
             act.valid, cam.world_view, cam.full_proj, cam.campos,
             cam.tan_fovx, cam.tan_fovy, jnp.zeros(3),
-            sh_degree=1, width=W, height=H, cfg=CFG, k_max=1024)
+            sh_degree=1, width=W, height=H, cfg=CFG_FULL, k_max=1024)
         assert not bool(out.truncated), f"GT render {i} truncated"
         views.append(dataclasses.replace(cam, image=out.image,
                                          exposure_idx=i))
@@ -175,7 +179,8 @@ def main():
     t0 = time.perf_counter()
     tau_results = eval_mod.eval_views(
         st, test_views, gts, levels=taus, level_is_tau=True,
-        budget=1 << 19, cfg=CFG, k_max=1024, warn=lambda *a, **k: None)
+        budget=1 << 19, cfg=CFG_FULL, k_max=1024,
+        warn=lambda *a, **k: None)
     sweep = []
     for tau, r in zip(taus, tau_results):
         print(f"tau {tau:g}: PSNR {r.psnr:.2f} SSIM {r.ssim:.3f} "
