@@ -296,6 +296,51 @@ def spt_cut(
                   spt_distance=dist, n_selected=jnp.sum(mask))
 
 
+@functools.partial(jax.jit, static_argnames=("use_frustum",))
+def spt_cut_cached(
+    forest: SPTForest,
+    capacity_mask_shape: jnp.ndarray,
+    campos: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    prev_selected: jnp.ndarray,     # [S] bool — previous view's SPT set
+    prev_distance: jnp.ndarray,     # [S] f32 — distances the prev cut used
+    rtol,                           # PostConfig.reuse_spt_tolerance
+    distance_multiplier: jnp.ndarray = 1.0,
+    use_frustum: bool = True,
+) -> SPTCut:
+    """spt_cut with the fork's SPT-cache reuse rule (train_post.py:362-394,
+    Reuse_SPT_Tolerance): an SPT selected in BOTH consecutive views whose
+    camera distance moved less than `rtol` relative KEEPS the previous
+    view's cut distance — its working-set rows stay bit-identical, so an
+    out-of-core cache pages only the true delta. The returned
+    spt_distance is the EFFECTIVE (possibly stale) distance to feed back
+    as prev_distance."""
+    base = spt_cut(forest, capacity_mask_shape, campos, full_proj,
+                   distance_multiplier, use_frustum=use_frustum)
+    c = capacity_mask_shape.shape[0]
+    new_dist = base.spt_distance
+    lo = prev_distance * rtol
+    hi = prev_distance / jnp.maximum(rtol, 1e-6)
+    reuse = (prev_selected & base.spt_selected
+             & (new_dist >= lo) & (new_dist <= hi))
+    eff = jnp.where(reuse, prev_distance, new_dist)
+
+    # re-derive the entry selection at the effective distances
+    from hlod_gaussians_tpu.ops import gather_rows
+    d_e, sel_f = gather_rows(
+        [eff, base.spt_selected.astype(jnp.float32)], forest.entry_spt)
+    sel_e = ((sel_f > 0.5)
+             & (forest.entry_max > d_e) & (forest.entry_min < d_e))
+    # plain (non-SPT) leaves are distance-independent: recover them from the
+    # base mask by clearing every SPT-owned row first
+    mask = base.gaussian_mask
+    mask = mask[None].at[:, forest.entry_gid].set(False)[0]
+    mask = mask[None].at[:, jnp.where(sel_e, forest.entry_gid, c)].set(
+        True, mode="drop")[0]
+    return SPTCut(gaussian_mask=mask, spt_selected=base.spt_selected,
+                  spt_distance=eff, n_selected=jnp.sum(mask))
+
+
 @functools.partial(jax.jit, static_argnames=("use_frustum", "retries"))
 def spt_cut_budgeted(
     forest: SPTForest,

@@ -254,6 +254,44 @@ def reuse_diff(prev_idx: jnp.ndarray, prev_dist: jnp.ndarray,
     return (new_dist >= lo) & (new_dist <= hi)
 
 
+class CachedCutter:
+    """Per-view SPT working-set cuts with the fork's cache-reuse rule.
+
+    Wires PostConfig.cache_spts + reuse_spt_tolerance: with caching on,
+    SPTs whose camera distance moved < rtol keep the PREVIOUS view's cut
+    distance, so their rows are bit-identical frame to frame and the
+    out-of-core cache (DeviceResidentTrainer) pages only the real delta
+    (train_post.py:323-394)."""
+
+    def __init__(self, forest, capacity: int,
+                 post: PostConfig = PostConfig(),
+                 use_frustum: Optional[bool] = None):
+        from hlod_gaussians_tpu.hierarchy import spt as spt_mod
+
+        self._spt = spt_mod
+        self.forest = forest
+        self.post = post
+        self.use_frustum = (post.use_frustum_culling
+                            if use_frustum is None else use_frustum)
+        self._shape = jnp.zeros((capacity,))
+        self._prev = None
+
+    def cut(self, campos, full_proj, distance_multiplier=1.0):
+        if not self.post.cache_spts or self._prev is None:
+            c = self._spt.spt_cut(
+                self.forest, self._shape, campos, full_proj,
+                distance_multiplier, use_frustum=self.use_frustum)
+        else:
+            sel, dist = self._prev
+            c = self._spt.spt_cut_cached(
+                self.forest, self._shape, campos, full_proj, sel, dist,
+                jnp.float32(self.post.reuse_spt_tolerance),
+                distance_multiplier, use_frustum=self.use_frustum)
+        if self.post.cache_spts:
+            self._prev = (c.spt_selected, c.spt_distance)
+        return c
+
+
 class NumpyStore:
     """Mutable numpy master storage (the default out-of-core backend)."""
 
@@ -518,46 +556,83 @@ class DeviceResidentTrainer:
         self._compute = _compute
         self.last_fetch = 0
         self.last_evict = 0
+        self._prefetched = None
 
-    def _sync(self, rows_needed: np.ndarray) -> None:
-        """Evict slots whose rows left the set; fetch missing rows."""
-        need = set(rows_needed.tolist())
-        resident_rows = np.where(self.slot_of_row >= 0)[0]
-        evict = [int(r) for r in resident_rows if r not in need]
-        if evict:
-            ev_rows = np.asarray(evict, np.int32)
+    def prepare(self, rows_needed: np.ndarray) -> dict:
+        """HOST half of the cache sync: compute the evict/fetch sets and
+        GATHER the missing rows from the numpy store into a staging buffer.
+        Pure CPU + an async H2D upload — safe to run while the device is
+        still computing the previous step (the prefetch overlap of the
+        reference's [LOAD] phase, train_post.py:440-479)."""
+        rows_needed = np.asarray(rows_needed, np.int32)
+        need = np.zeros(self.store.capacity, bool)
+        need[rows_needed] = True
+        resident = self.slot_of_row >= 0
+        ev_rows = np.where(resident & ~need)[0].astype(np.int32)
+        miss_rows = rows_needed[self.slot_of_row[rows_needed] < 0]
+        miss_rows = np.unique(miss_rows).astype(np.int32)
+        n_free = len(self.free) + len(ev_rows)
+        if len(miss_rows) > n_free:
+            raise RuntimeError(
+                f"working set {int(need.sum())} > budget {self.budget}")
+        # the big host gather + upload dispatch happen NOW (overlappable);
+        # jnp.asarray returns as soon as the transfer is enqueued
+        staged = (jnp.asarray(self.store.data[miss_rows].T)
+                  if len(miss_rows) else None)
+        return dict(evict=ev_rows, missing=miss_rows, staged=staged)
+
+    def apply(self, prep: dict) -> None:
+        """DEVICE/bookkeeping half: read back evicted rows (syncs on the
+        previous compute), scatter them into the host store, and place the
+        staged rows into their slots."""
+        ev_rows = prep["evict"]
+        if len(ev_rows):
             ev_slots = self.slot_of_row[ev_rows]
             self.store.data[ev_rows] = np.asarray(
                 self.buf[:, jnp.asarray(ev_slots)]).T
-            for r, sl in zip(ev_rows, ev_slots):
-                self.slot_of_row[r] = -1
-                self.row_of_slot[sl] = -1
-                self.free.append(int(sl))
-        missing = [int(r) for r in rows_needed if self.slot_of_row[r] < 0]
-        if len(missing) > len(self.free):
-            raise RuntimeError(
-                f"working set {len(rows_needed)} > budget {self.budget}")
-        if missing:
-            rows = np.asarray(missing, np.int32)
-            slots = np.asarray([self.free.pop() for _ in missing], np.int32)
-            for r, sl in zip(rows, slots):
-                self.slot_of_row[r] = sl
-                self.row_of_slot[sl] = r
-            self.buf = self.buf.at[:, jnp.asarray(slots)].set(
-                jnp.asarray(self.store.data[rows].T))
-        self.last_fetch = len(missing)
-        self.last_evict = len(evict)
+            self.slot_of_row[ev_rows] = -1
+            self.row_of_slot[ev_slots] = -1
+            self.free.extend(int(s) for s in ev_slots)
+        miss = prep["missing"]
+        if len(miss):
+            slots = np.asarray([self.free.pop() for _ in miss], np.int32)
+            self.slot_of_row[miss] = slots
+            self.row_of_slot[slots] = miss
+            self.buf = self.buf.at[:, jnp.asarray(slots)].set(prep["staged"])
+        self.last_fetch = len(miss)
+        self.last_evict = len(ev_rows)
+
+    def _sync(self, rows_needed: np.ndarray) -> None:
+        """Evict slots whose rows left the set; fetch missing rows."""
+        self.apply(self.prepare(rows_needed))
 
     def step(self, rows_needed: np.ndarray, world_view, full_proj, campos,
-             tan_fovx, tan_fovy, gt_image, bg):
-        """One training step on the given working-set rows (host indices)."""
+             tan_fovx, tan_fovy, gt_image, bg,
+             prefetch_rows: Optional[np.ndarray] = None):
+        """One training step on the given working-set rows (host indices).
+
+        With ``prefetch_rows`` (the NEXT view's working set) the host
+        gathers and uploads the next delta WHILE the device runs this
+        step's compute — per-step host work hides behind device time. The
+        prepared delta is consumed by the next step() call automatically.
+        """
         rows_needed = np.asarray(rows_needed, np.int32)
-        self._sync(rows_needed)
+        if self._prefetched is not None and np.array_equal(
+                self._prefetched[0], rows_needed):
+            self.apply(self._prefetched[1])
+        else:
+            self._sync(rows_needed)
+        self._prefetched = None
         valid = jnp.asarray(self.row_of_slot >= 0)
         self.buf, loss, n_vis = self._compute(
             self.buf, jnp.int32(self.store.step), valid, world_view,
             full_proj, campos, tan_fovx, tan_fovy, gt_image, bg)
         self.store.step += 1
+        if prefetch_rows is not None:
+            # runs on the host while the dispatched compute occupies the
+            # device; apply() next step syncs on the compute anyway
+            prefetch_rows = np.asarray(prefetch_rows, np.int32)
+            self._prefetched = (prefetch_rows, self.prepare(prefetch_rows))
         return loss, n_vis
 
     def flush(self) -> None:

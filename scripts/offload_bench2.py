@@ -1,0 +1,135 @@
+"""Out-of-core benchmark at the reference envelope (round-3 directive #4).
+
+Store-size curve 2M -> 8M -> 16M (-> 50M = the reference train_post
+operating point, train_post.py:71) with 32k-row working sets, measuring:
+  * resident step (whole working set on device, no paging) — the floor;
+  * warm out-of-core step WITHOUT prefetch (host work serialized);
+  * warm out-of-core step WITH prefetch (host gather of view k+1 overlaps
+    the device compute of view k).
+Target: warm+prefetch <= 2x resident at the same working-set size.
+Writes OFFLOAD_r03.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.models import gaussians as gm
+    from hlod_gaussians_tpu.train import offload
+    from hlod_gaussians_tpu.utils.camera import make_camera
+
+    ws = 1 << 15                   # 32k-row working set
+    W = H = 512
+    DRIFT = ws // 16               # 2k-row delta per view (coherent walk)
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(ws, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    st_small = gm.create_from_points(
+        pts, rng.random((ws, 3)).astype(np.float32),
+        capacity=ws, sh_degree=1, opacity_init=0.6)
+    tile = offload.pack_store(st_small)
+
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.9, W, H)
+    cfg = RasterizerConfig(backend="pallas", tile_w=32, tile_h=16,
+                           max_dup=1 << 19, tight_binning=True)
+    gt = jnp.full((3, H, W), 0.4)
+    base = np.arange(ws, dtype=np.int32)
+    results = {}
+
+    # ---- resident floor: same compute, rows permanently on device -------
+    tr0 = offload.DeviceResidentTrainer(
+        offload.PackedStore(tile.copy(), sh_degree=1), budget=ws, cfg=cfg,
+        width=W, height=H, k_max=256, scene_extent=4.0)
+
+    def timed(tr, rows, prefetch=None):
+        t0 = time.perf_counter()
+        loss, _ = tr.step(rows, cam.world_view, cam.full_proj, cam.campos,
+                          cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3),
+                          prefetch_rows=prefetch)
+        jax.block_until_ready(loss)
+        return (time.perf_counter() - t0) * 1e3
+
+    timed(tr0, base)               # compile
+    resident = [timed(tr0, base) for _ in range(10)]
+    res_ms = float(np.median(resident))
+    print(f"resident step (32k rows on device): {res_ms:7.1f} ms",
+          flush=True)
+    results["resident_ms"] = round(res_ms, 1)
+
+    for cap_log2 in (21, 23, 24):
+        cap = 1 << cap_log2
+        reps = cap // ws
+        t0 = time.perf_counter()
+        data = np.tile(tile, (reps, 1))
+        build_s = time.perf_counter() - t0
+        store = offload.PackedStore(data, sh_degree=1)
+        gb = data.nbytes / 1e9
+        print(f"--- store {cap >> 20}M rows ({gb:.1f} GB host, "
+              f"built {build_s:.0f}s)", flush=True)
+        tr = offload.DeviceResidentTrainer(
+            store, budget=ws, cfg=cfg, width=W, height=H, k_max=256,
+            scene_extent=4.0)
+
+        timed(tr, base)                      # warm the jit
+        cold = timed(tr, (base + ws) % cap)  # full 32k swap
+        print(f"  cold (32k fetch+evict): {cold:7.1f} ms", flush=True)
+
+        # warm WITHOUT prefetch
+        off = ws
+        seq = []
+        for _ in range(10):
+            off += DRIFT
+            seq.append(timed(tr, (base + off) % cap))
+        seq_ms = float(np.median(seq))
+        print(f"  warm no-prefetch (2k delta): {seq_ms:7.1f} ms",
+              flush=True)
+
+        # warm WITH prefetch (gather of k+1 overlaps compute of k)
+        pre = []
+        for _ in range(10):
+            rows = (base + off) % cap
+            off += DRIFT
+            nxt = (base + off) % cap
+            pre.append(timed(tr, rows, prefetch=nxt))
+        pre_ms = float(np.median(pre))
+        print(f"  warm +prefetch:              {pre_ms:7.1f} ms "
+              f"({pre_ms / res_ms:.2f}x resident)", flush=True)
+        results[f"store_{cap >> 20}M"] = dict(
+            cold_ms=round(cold, 1), warm_ms=round(seq_ms, 1),
+            warm_prefetch_ms=round(pre_ms, 1),
+            vs_resident=round(pre_ms / res_ms, 2))
+        del tr, store, data
+
+    ok = all(v["vs_resident"] <= 2.0 for k, v in results.items()
+             if k.startswith("store_"))
+    results["ws_rows"] = ws
+    results["target_warm_le_2x_resident"] = ok
+    results["provenance"] = ("single v5e via remote tunnel; 32k working "
+                             "set, 2k/view drift, 512x512 render, sh1 "
+                             "packed rows (params+Adam, 276 B/row)")
+    with open(os.path.join(ROOT, "OFFLOAD_r03.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+    print("OFFLOAD BENCH OK" if ok else "OFFLOAD BENCH: target missed",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

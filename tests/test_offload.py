@@ -219,3 +219,83 @@ def test_packed_step_dispatch_writeback():
     assert np.isfinite(float(loss)) and int(n_vis) > 0
     assert (store.data[:32] != before[:32]).any()
     np.testing.assert_array_equal(store.data[32:], before[32:])
+
+
+def test_device_resident_prefetch_pipeline():
+    """step(prefetch_rows=next) must give bit-identical results to the
+    unpipelined path while actually consuming the prepared delta."""
+    st, cam = toy(seed=7)
+    gt = jnp.full((3, H, W), 0.4)
+    sets = [np.arange(0, 32), np.arange(16, 40), np.arange(8, 36),
+            np.arange(0, 24)]
+
+    store_a = offload.PackedStore.from_state(st)
+    tr_a = offload.DeviceResidentTrainer(
+        store_a, budget=64, cfg=CFG, width=W, height=H, k_max=128,
+        scene_extent=2.0)
+    for rows in sets:
+        tr_a.step(rows.astype(np.int32), cam.world_view, cam.full_proj,
+                  cam.campos, cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3))
+    tr_a.flush()
+
+    store_b = offload.PackedStore.from_state(st)
+    tr_b = offload.DeviceResidentTrainer(
+        store_b, budget=64, cfg=CFG, width=W, height=H, k_max=128,
+        scene_extent=2.0)
+    for i, rows in enumerate(sets):
+        nxt = sets[i + 1].astype(np.int32) if i + 1 < len(sets) else None
+        tr_b.step(rows.astype(np.int32), cam.world_view, cam.full_proj,
+                  cam.campos, cam.tan_fovx, cam.tan_fovy, gt, jnp.zeros(3),
+                  prefetch_rows=nxt)
+        if nxt is not None:
+            assert tr_b._prefetched is not None
+    tr_b.flush()
+    np.testing.assert_array_equal(store_a.data, store_b.data)
+
+
+def test_cached_cutter_reuse_rule():
+    """cache_spts + reuse_spt_tolerance (train_post.py:362-394): a small
+    camera move keeps the working set bit-identical; a big move or
+    cache_spts=False re-cuts at the new distance."""
+    from hlod_gaussians_tpu.config import PostConfig
+    from tests.test_spt import make_forest
+
+    h, forest = make_forest(n=257, seed=2)
+    cap = h.nodes.shape[0]
+    proj = jnp.asarray(np.eye(4, dtype=np.float32))
+
+    campos0 = jnp.asarray(np.array([0.0, 0.0, -3.0], np.float32))
+    # a move small enough that every SPT distance ratio stays within 0.9
+    campos1 = campos0 + jnp.asarray(np.array([0.0, 0.0, -0.05], np.float32))
+    campos2 = campos0 + jnp.asarray(np.array([0.0, 0.0, -8.0], np.float32))
+
+    post_on = PostConfig(cache_spts=True, reuse_spt_tolerance=0.9,
+                         use_frustum_culling=False)
+    cutter = offload.CachedCutter(forest, cap, post_on)
+    c0 = cutter.cut(campos0, proj)
+    c1 = cutter.cut(campos1, proj)
+    assert int(c0.n_selected) > 0
+    np.testing.assert_array_equal(np.asarray(c0.gaussian_mask),
+                                  np.asarray(c1.gaussian_mask))
+    # effective distances were REUSED, not refreshed
+    np.testing.assert_allclose(np.asarray(c1.spt_distance)[
+        np.asarray(c0.spt_selected)],
+        np.asarray(c0.spt_distance)[np.asarray(c0.spt_selected)])
+
+    # a large move re-cuts (distance ratio falls outside the tolerance)
+    c2 = cutter.cut(campos2, proj)
+    sel = np.asarray(c2.spt_selected) & np.asarray(c0.spt_selected)
+    if sel.any():
+        assert not np.allclose(np.asarray(c2.spt_distance)[sel],
+                               np.asarray(c0.spt_distance)[sel])
+
+    # cache off: the second cut equals a fresh cut at the new position
+    post_off = PostConfig(cache_spts=False, use_frustum_culling=False)
+    cutter_off = offload.CachedCutter(forest, cap, post_off)
+    cutter_off.cut(campos0, proj)
+    c1_off = cutter_off.cut(campos1, proj)
+    from hlod_gaussians_tpu.hierarchy import spt as spt_mod
+    fresh = spt_mod.spt_cut(forest, jnp.zeros((cap,)), campos1, proj,
+                            use_frustum=False)
+    np.testing.assert_array_equal(np.asarray(c1_off.gaussian_mask),
+                                  np.asarray(fresh.gaussian_mask))
