@@ -216,6 +216,10 @@ def cmd_viewer(args):
             # this frame keeps the slider-scaled `target` so the cut mask
             # and the render's ts/kids use the SAME granularity
             ctrl.update(int(prev_n))
+            # SIBR status blob fields (hierarchy_viewer.py:538)
+            srv.status["train_params"] = {
+                "Num_Rendered": int(prev_n),
+                "Percentage_Rendered": int(prev_n) / max(n_alive, 1)}
 
         render_mask = active
         if getattr(args, "occlusion_cull", False):
@@ -258,6 +262,8 @@ def cmd_viewer(args):
         return (img * 255).astype(np.uint8)
 
     srv = ViewerServer(args.host, args.port)
+    n_alive = int(np.asarray(state.alive).sum())
+    srv.status = dict(num_gaussians=n_alive, sh_degree=state.sh_degree)
     print(f"viewer listening on {args.host}:{srv.port}")
     try:
         import time as _time

@@ -563,9 +563,15 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 
         chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
         logT_start = logT_end - chunk_sum
-        log_before = logT_start + _mm_mask(tril, lg)
-        t_before = jnp.exp(log_before)                        # [CHUNK, pix]
-        contrib = a * t_before
+        # T_start factored OUT of the per-entry exponent: t_before =
+        # T_start * exp(cum_ex). Everything heavy (exp, the triangular
+        # matmuls) becomes independent of the loop carry — the carry only
+        # enters through [1, pix]-row multiplies — which shortens the
+        # serial dependency chain between chunk iterations.
+        t_rel = jnp.exp(_mm_mask(tril, lg))                   # [CHUNK, pix]
+        t_start = jnp.exp(logT_start)                         # [1, pix]
+        contrib0 = a * t_rel
+        contrib = contrib0 * t_start
 
         col = lambda i: chunk[:, i:i + 1]
 
@@ -584,15 +590,17 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         #   sum_ch g_ch * Suf_k^ch = [usq @ (contrib * cdotg)]_k
         # cdotg itself is a rank-4 outer-product sum = one tiny MXU matmul
         # [CHUNK,4] @ [4,pix] (replaces 7 wide VPU passes); Dekker-split
-        # keeps it f32-exact
+        # keeps it f32-exact. T_start also factors out of the suffix matmul
+        # (it is constant over the contraction index), keeping the MXU work
+        # carry-free:  usq @ (pcg0 * T_start) = (usq @ pcg0) * T_start.
         cdotg = _mm_dekker(chunk[:, _ER:_EID + 1], g4)    # [CHUNK, pix]
-        pcg = contrib * cdotg
-        suf_comb = _mm_mask(usq, pcg) + s_comb
+        pcg0 = contrib0 * cdotg
+        suf_comb = _mm_mask(usq, pcg0) * t_start + s_comb
 
         # 1/(1-a) = exp(-log1p(-a)): the hw exp is ~3 VPU passes cheaper
         # than an f32 divide, and lg is already in registers; dT*final_t is
         # loop-invariant (hoisted to dTf outside the chunk walk)
-        dal = cdotg * t_before - (suf_comb + dTf) * jnp.exp(-lg)
+        dal = cdotg * (t_rel * t_start) - (suf_comb + dTf) * jnp.exp(-lg)
         dal = jnp.where(applied, dal, 0.0)
 
         dmy = dal * aux["dalpha_dmy"] if use_lod else dal
@@ -635,7 +643,7 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         grad_vmem[slot] = jnp.transpose(g16)           # [16, CHUNK]
         dma_out(slot, c).start()
 
-        s_comb_n = s_comb + jnp.sum(pcg, axis=0, keepdims=True)
+        s_comb_n = s_comb + jnp.sum(pcg0, axis=0, keepdims=True) * t_start
         return logT_start, s_comb_n
 
     z = jnp.zeros((1, pix), jnp.float32)

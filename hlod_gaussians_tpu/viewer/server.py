@@ -52,6 +52,9 @@ class ViewerServer:
         self.listener.listen()
         self.listener.settimeout(0)
         self.conn: Optional[socket.socket] = None
+        # overrides for the per-frame JSON status payload (the reference
+        # viewer's verify blob, hierarchy_viewer.py:538-539)
+        self.status: dict = {}
 
     @property
     def port(self) -> int:
@@ -109,7 +112,11 @@ class ViewerServer:
     def poll_once(self, render_fn: Callable) -> Optional[dict]:
         """Serve one request if a client is connected. Returns the decoded
         options (or None). On protocol errors the connection is dropped, as
-        in the reference's training-loop try/except."""
+        in the reference's training-loop try/except.
+
+        The verify payload is the reference viewer's JSON status blob
+        (hierarchy_viewer.py:538-539) built from ``self.status`` — the app
+        updates the dict (num_gaussians, train_params...) between polls."""
         if not self.try_connect():
             return None
         try:
@@ -121,7 +128,11 @@ class ViewerServer:
             cam, opts = decoded
             img = render_fn(cam, opts)
             img = np.ascontiguousarray(img, dtype=np.uint8)
-            self.send(memoryview(img).tobytes(), "hlod_gaussians_tpu")
+            status = dict(iteration=99, num_gaussians=0, loss=0,
+                          sh_degree=1, error=0, paused=False,
+                          train_params={})
+            status.update(self.status)
+            self.send(memoryview(img).tobytes(), json.dumps(status))
             return opts
         except Exception:
             traceback.print_exc()

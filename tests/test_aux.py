@@ -81,16 +81,28 @@ def test_scheduler_epochs():
 
 
 def test_viewer_server_roundtrip():
+    """Byte-level golden transcript of the SIBR remote handshake
+    (gaussian_renderer/network_gui.py:44-57 + hierarchy_viewer.py:538-539):
+    request = 4-byte LE length + the client JSON; response = raw H*W*3
+    uint8 image + 4-byte LE length + the JSON status blob with the
+    reference's keys. Camera decode must apply the Y/Z column sign flips
+    (network_gui.py:76-79)."""
     srv = ViewerServer(port=0)
+    srv.status = dict(num_gaussians=1234,
+                      train_params={"Num_Rendered": 99})
     port = srv.port
     W, H = 32, 24
+    seen_cam = {}
 
     def render_fn(cam, opts):
         assert cam.width == W and cam.height == H
+        seen_cam["wv"] = np.asarray(cam.world_view).copy()
         img = np.full((cam.height, cam.width, 3), 7, np.uint8)
         return img
 
     result = {}
+    vm = np.diag([1.0, 1.0, 1.0, 1.0])
+    vm[3, :3] = [0.5, -0.25, 2.0]   # translation row (row-vector convention)
 
     def client():
         s = socket.create_connection(("127.0.0.1", port))
@@ -98,18 +110,20 @@ def test_viewer_server_roundtrip():
                    z_near=0.01, z_far=100.0, train=False, shs_python=False,
                    rot_scale_python=False, keep_alive=True,
                    scaling_modifier=1.0, slider={"lod": 0.5},
-                   view_matrix=list(np.eye(4).flatten().astype(float)),
+                   view_matrix=list(vm.flatten().astype(float)),
                    view_projection_matrix=list(np.eye(4).flatten().astype(float)))
         payload = json.dumps(msg).encode()
-        s.sendall(len(payload).to_bytes(4, "little"))
-        s.sendall(payload)
+        # golden request framing: exactly len(payload) LE32 then the bytes
+        s.sendall(len(payload).to_bytes(4, "little") + payload)
         img = b""
         while len(img) < W * H * 3:
             img += s.recv(W * H * 3 - len(img))
         n = int.from_bytes(s.recv(4), "little")
-        verify = s.recv(n).decode()
+        verify = b""
+        while len(verify) < n:
+            verify += s.recv(n - len(verify))
         result["img"] = img
-        result["verify"] = verify
+        result["verify"] = verify.decode("ascii")
         s.close()
 
     t = threading.Thread(target=client)
@@ -124,9 +138,20 @@ def test_viewer_server_roundtrip():
     t.join(timeout=5)
     srv.close()
     assert served is not None
-    assert result["verify"] == "hlod_gaussians_tpu"
+    # the verify payload is the reference's JSON status blob
+    status = json.loads(result["verify"])
+    for key in ("iteration", "num_gaussians", "loss", "sh_degree",
+                "error", "paused", "train_params"):
+        assert key in status, status
+    assert status["num_gaussians"] == 1234
+    assert status["train_params"]["Num_Rendered"] == 99
     assert len(result["img"]) == W * H * 3
     assert result["img"][0] == 7
+    # Y/Z sign flip golden: columns 1,2 negated (network_gui.py:76-77)
+    expect = vm.copy()
+    expect[:, 1] *= -1
+    expect[:, 2] *= -1
+    np.testing.assert_allclose(seen_cam["wv"], expect, atol=1e-7)
 
 
 def test_covisibility_graph_from_colmap_db(tmp_path):
