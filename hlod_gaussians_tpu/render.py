@@ -438,6 +438,17 @@ def render_lod_auto(
             if md_state is not None:
                 md_state[budget] = md
             return out, n
+        # escalation = a silent re-render of the whole frame; surface it so
+        # a capacity regression shows up as a counter, not as mystery
+        # slowdown (persist in md_state when given, else warn)
+        if md_state is not None:
+            md_state["n_escalations"] = md_state.get("n_escalations", 0) + 1
+        else:
+            import warnings
+            warnings.warn(
+                f"render_lod_auto: max_dup {md} truncated, re-rendering at "
+                f"{md * 2} (pass md_state to remember per-bucket capacity)",
+                stacklevel=2)
         md *= 2
 
 

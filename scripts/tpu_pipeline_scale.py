@@ -143,13 +143,16 @@ def main():
     mcfg = ModelConfig(sh_degree=1)
 
     mpath = "/tmp/tpu_pipe_scale/metrics.jsonl"
-    if os.path.exists(mpath):
-        os.remove(mpath)
+    resumed = os.path.exists(mpath)
     logger = MetricsLogger(mpath)
     t0 = time.perf_counter()
+    # skip_if_exists: the remote tunnel can stall mid-run; finished chunk
+    # artifacts resume instead of recomputing (the reference's
+    # --skip_if_exists restart story, scripts/full_train.py:58)
     merged = full_train.run_pipeline(
         scene, view_loader=lambda ci: ci.v, output_dir="/tmp/tpu_pipe_scale",
-        pcfg=pcfg, opt=opt, post=post, cfg=CFG, mcfg=mcfg, logger=logger)
+        pcfg=pcfg, opt=opt, post=post, cfg=CFG, mcfg=mcfg, logger=logger,
+        skip_if_exists=True)
     t_total = time.perf_counter() - t0
     logger.close()
     print(f"pipeline total: {t_total:.0f}s, merged nodes "
@@ -195,9 +198,12 @@ def main():
 
     rec = dict(
         provenance="single v5e via remote tunnel; synthetic 4-cluster "
-                   "scene, 220k GT leaves, 512x512, 28 train / 8 test "
+                   "scene, 220k GT leaves, 512x512, 20 train / 8 test "
                    "views; full composed pipeline (coarse->chunks->"
-                   "hierarchy->post+MCMC->merge)",
+                   "hierarchy->post+MCMC->merge)"
+                   + (" — resumed via skip_if_exists after a tunnel "
+                      "stall, so pipeline_seconds/stage walls span the "
+                      "resumed portion plus reloads" if resumed else ""),
         pipeline_seconds=round(t_total, 1),
         stage_walls=stage_walls,
         merged_nodes=int(merged.nodes.shape[0]),
