@@ -116,6 +116,10 @@ class RasterizerConfig:
     # Tiles per Pallas grid program: batches the ~2-4us fixed per-program
     # cost; keep num_tiles/tpb around a few hundred programs.
     tpb: int = 4
+    # Inference-only rendering: binning skips the gradient-reduction
+    # bookkeeping (a cap-sized sort, ~5 ms at 1M nodes). Differentiating
+    # such a render raises. The render_lod* entry points force this on.
+    inference: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -314,7 +314,8 @@ def bin_gaussians_aligned(xy, depth, radius, valid, width: int, height: int,
                           tile_w: int, tile_h: int, max_dup: int,
                           chunk: int,
                           ext: Optional[jnp.ndarray] = None,
-                          reff2: Optional[jnp.ndarray] = None) -> AlignedBins:
+                          reff2: Optional[jnp.ndarray] = None,
+                          need_grads: bool = True) -> AlignedBins:
     """Fused bin+align: ONE stable sort emits the chunk-aligned layout.
 
     Equivalent to ``align_bins(bin_gaussians(...), num_tiles, chunk)`` but
@@ -373,12 +374,18 @@ def bin_gaussians_aligned(xy, depth, radius, valid, width: int, height: int,
     _, entry_gid, sorted_gen = jax.lax.sort(
         (keys, gids, gens), num_keys=1, is_stable=True)
 
-    # generation -> aligned slot: invert by sorting on gen (pads carry
-    # gen == md and sort to the back; every real gen appears exactly once)
-    _, gen_to_slot = jax.lax.sort(
-        (sorted_gen, jnp.arange(cap, dtype=jnp.int32)), num_keys=1,
-        is_stable=True)
-    gen_to_slot = gen_to_slot[:md]
+    if need_grads:
+        # generation -> aligned slot: invert by sorting on gen (pads carry
+        # gen == md and sort to the back; every real gen appears exactly
+        # once). Only the backward's gradient reduction consumes this —
+        # inference callers (viewer/eval LOD paths) skip the cap-sized sort
+        # (~5 ms at 1M-node scale).
+        _, gen_to_slot = jax.lax.sort(
+            (sorted_gen, jnp.arange(cap, dtype=jnp.int32)), num_keys=1,
+            is_stable=True)
+        gen_to_slot = gen_to_slot[:md]
+    else:
+        gen_to_slot = jnp.zeros((0,), jnp.int32)   # trips _expand_bwd
 
     return AlignedBins(entry_gid=entry_gid, tile_starts=aligned_starts,
                        tile_counts=counts,

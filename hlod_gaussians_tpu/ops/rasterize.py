@@ -88,6 +88,10 @@ def _expand_bwd(res, egrads):
     abins, n = res
     cap = egrads.shape[1]
     md = abins.gen_to_slot.shape[0]
+    if md == 0:
+        raise ValueError(
+            "this render was binned with need_grads=False (cfg.inference) "
+            "— it cannot be differentiated; render with a training config")
     # NOTE: only rows 0:10 carry real gradients, but every minor-axis
     # gather needs a multiple-of-8 row count to stay on the fast path
     # (a [10, md] gather scalarizes: measured 1.1 s) — so the reduction

@@ -9,6 +9,7 @@ All functions are batched over the leading axis and jit/vmap friendly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 C0 = 0.28209479177387814
@@ -85,10 +86,48 @@ def sh_color(deg: int, sh, means, campos):
     from the camera to the (possibly LOD-interpolated) mean, +0.5 offset,
     clamp at zero. The clamp is part of the differentiable graph, so
     autodiff reproduces the reference's `clamped` masking in backward.cu.
+
+    Layout: for 1-D batches (the rasterizer's [N] case) the whole chain
+    runs on [N]-shaped COLUMNS — trailing-dim-3 math uses 3/128 TPU lanes
+    and measured ~5 ms at 1M rows even at degree 0 — with a single [N,3]
+    stack at the end. Higher-rank batches keep the generic einsum path.
     """
-    dirs = means - campos
+    if means.ndim != 2:
+        dirs = means - campos
+        norm = jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
+        dirs = dirs / norm
+        return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+
+    if deg == 0:
+        # direction-independent: no normalize at all
+        return jnp.maximum(C0 * sh[:, 0, :] + 0.5, 0.0)
+
+    dx = means[:, 0] - campos[0]
+    dy = means[:, 1] - campos[1]
+    dz = means[:, 2] - campos[2]
     # eps inside the sqrt keeps the gradient finite when means == campos
     # (dead capacity-padding rows sit at the origin).
-    norm = jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
-    dirs = dirs / norm
-    return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+    x, y, z = dx * inv, dy * inv, dz * inv
+
+    b = [jnp.full_like(x, C0), -C1 * y, C1 * z, -C1 * x]
+    if deg > 1:
+        xx, yy, zz = x * x, y * y, z * z
+        b += [C2[0] * x * y, C2[1] * y * z, C2[2] * (2.0 * zz - xx - yy),
+              C2[3] * x * z, C2[4] * (xx - yy)]
+        if deg > 2:
+            b += [C3[0] * y * (3.0 * xx - yy), C3[1] * x * y * z,
+                  C3[2] * y * (4.0 * zz - xx - yy),
+                  C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                  C3[4] * x * (4.0 * zz - xx - yy),
+                  C3[5] * z * (xx - yy),
+                  C3[6] * x * (xx - 3.0 * yy)]
+    k = NUM_COEFFS[deg]
+    # one [N, K] x [N, K, 3] contraction would put 3 on the lanes; instead
+    # contract per channel over [N]-columns and stack once
+    bk = jnp.stack(b, axis=0)                    # [K, N]
+    out = []
+    for c in range(3):
+        shc = jnp.transpose(sh[:, :k, c])        # [K, N] strided slice
+        out.append(jnp.sum(bk * shc, axis=0))
+    return jnp.maximum(jnp.stack(out, axis=-1) + 0.5, 0.0)

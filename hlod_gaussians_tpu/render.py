@@ -18,6 +18,7 @@ gradients that drive densification (scene/gaussian_model.py:1522-1530).
 from __future__ import annotations
 
 import functools
+import dataclasses as _dc
 from typing import NamedTuple, Optional
 
 import jax
@@ -105,7 +106,8 @@ def render_arrays(
             proj.radius, proj.valid,
             width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup, rp.CHUNK,
             ext=jax.lax.stop_gradient(proj.ext) if tight else None,
-            reff2=jax.lax.stop_gradient(proj.reff2) if tight else None)
+            reff2=jax.lax.stop_gradient(proj.reff2) if tight else None,
+            need_grads=not cfg.inference)
         bins = abins
         out = rast.rasterize_tiles(
             abins, xy, proj.conic, proj.opacity, color, invdepth_g, bg,
@@ -242,6 +244,10 @@ def render_lod(
     """
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
+    # LOD entry points are render-only: skip gradient-reduction bookkeeping
+    # in binning (differentiating through them raises; training paths use
+    # render_arrays directly)
+    cfg = _dc.replace(cfg, inference=True)
     c = means3d.shape[0]
     cut = _compute_cut(precomputed_cut, boxes, nodes, means3d, scales,
                        alive, campos, world_view, target_size, pcache,
@@ -331,6 +337,7 @@ def render_lod_masked(
     stays cheaper for sparse cuts. Returns (RenderResult, n_selected)."""
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
+    cfg = _dc.replace(cfg, inference=True)   # see render_lod
     cut = _compute_cut(precomputed_cut, boxes, nodes, means3d, scales,
                        alive, campos, world_view, target_size, pcache,
                        use_frustum)
