@@ -157,18 +157,17 @@ def main():
 
     timeit("fwd kernel (LOD)", fwd)
 
+    # campos as a real argument so XLA cannot constant-fold the frame
     @jax.jit
-    def full():
+    def full(campos):
         out, n_sel = render_mod.render_lod_masked(
             pos, scale, quat, op, sh, nodes, alive, cam.world_view,
-            cam.full_proj, cam.campos, cam.tan_fovx, cam.tan_fovy,
+            cam.full_proj, campos, cam.tan_fovx, cam.tan_fovy,
             jnp.zeros(3), target, None, pcache, None, itab,
             sh_degree=0, width=width, height=height, cfg=cfg, k_max=1024)
         return out.image
 
-    img = timeit("FULL render_lod_masked frame", full)
-    mpix = width * height / 1e6
-    # rough fps from the full-frame timing above (reprint for convenience)
+    timeit("FULL render_lod_masked frame", full, jnp.asarray(cam.campos))
 
 
 if __name__ == "__main__":

@@ -73,9 +73,8 @@ def main():
 
     configs = [
         ("32x32 tpb4  (current)", 32, 32, 4, 352),
-        ("16x16 tpb16", 16, 16, 16, 512),
-        ("32x16 tpb8", 32, 16, 8, 416),
-        ("16x16 tpb8", 16, 16, 8, 512),
+        ("32x32 tpb8", 32, 32, 8, 352),
+        ("32x32 tpb16", 32, 32, 16, 352),
     ]
     for name, tw, th, tpb, mdk in configs:
         cfg = RasterizerConfig(backend="pallas", tile_w=tw, tile_h=th,
