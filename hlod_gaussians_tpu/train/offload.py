@@ -558,6 +558,18 @@ class DeviceResidentTrainer:
         self.last_evict = 0
         self._prefetched = None
 
+        # ONE device program for the whole cache update (evict-gather +
+        # fetch-scatter): over a remote-dispatch link every separate device
+        # interaction costs ~5-15 ms of tunnel latency, so the two halves
+        # are fused and padded to power-of-2 bucket sizes (few compiles).
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _cache_update(buf, ev_slots, fetch_slots, staged):
+            ev_vals = buf[:, ev_slots]
+            buf = buf.at[:, fetch_slots].set(staged)
+            return buf, ev_vals
+
+        self._cache_update = _cache_update
+
     def prepare(self, rows_needed: np.ndarray) -> dict:
         """HOST half of the cache sync: compute the evict/fetch sets and
         GATHER the missing rows from the numpy store into a staging buffer.
@@ -581,24 +593,64 @@ class DeviceResidentTrainer:
                   if len(miss_rows) else None)
         return dict(evict=ev_rows, missing=miss_rows, staged=staged)
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b <<= 1
+        return b
+
     def apply(self, prep: dict) -> None:
-        """DEVICE/bookkeeping half: read back evicted rows (syncs on the
-        previous compute), scatter them into the host store, and place the
-        staged rows into their slots."""
+        """DEVICE/bookkeeping half: ONE fused device call reads back the
+        evicted slots and places the staged rows (evict-read is ordered
+        before the fetch-write inside the program, so a fetched row may
+        reuse a just-evicted slot); the host then scatters the evicted
+        values into the store."""
         ev_rows = prep["evict"]
+        miss = prep["missing"]
+        if len(ev_rows) == 0 and len(miss) == 0:
+            self.last_fetch = self.last_evict = 0
+            return
+        ev_slots = (self.slot_of_row[ev_rows] if len(ev_rows)
+                    else np.zeros(0, np.int32))
+        pool = self.free + [int(s) for s in ev_slots]
+        if len(miss) > len(pool):
+            raise RuntimeError("working set > budget")
+        slots = np.asarray(pool[:len(miss)], np.int32)
+        self.free = pool[len(miss):]
+
+        # pad to bucket sizes (few distinct compiles): duplicate evict
+        # reads are free; fetch padding re-targets the first REAL slot so
+        # the duplicate write stores the same value twice
+        nb_e = self._bucket(max(len(ev_slots), 1))
+        nb_f = self._bucket(max(len(slots), 1))
+        ev_pad = np.full(nb_e, int(ev_slots[0]) if len(ev_slots) else 0,
+                         np.int32)
+        ev_pad[:len(ev_slots)] = ev_slots
+        anchor = int(slots[0]) if len(slots) else 0
+        f_pad = np.full(nb_f, anchor, np.int32)
+        f_pad[:len(slots)] = slots
+        staged = prep["staged"]
+        if staged is None:
+            staged = self.buf[:, jnp.asarray(f_pad)]     # no-op rewrite
+        elif staged.shape[1] < nb_f:
+            d = staged.shape[0]
+            staged = jnp.concatenate(
+                [staged, jnp.broadcast_to(staged[:, :1],
+                                          (d, nb_f - staged.shape[1]))],
+                axis=1)
+
+        self.buf, ev_vals = self._cache_update(
+            self.buf, jnp.asarray(ev_pad), jnp.asarray(f_pad), staged)
+
         if len(ev_rows):
-            ev_slots = self.slot_of_row[ev_rows]
             self.store.data[ev_rows] = np.asarray(
-                self.buf[:, jnp.asarray(ev_slots)]).T
+                ev_vals)[:, :len(ev_rows)].T
             self.slot_of_row[ev_rows] = -1
             self.row_of_slot[ev_slots] = -1
-            self.free.extend(int(s) for s in ev_slots)
-        miss = prep["missing"]
         if len(miss):
-            slots = np.asarray([self.free.pop() for _ in miss], np.int32)
             self.slot_of_row[miss] = slots
             self.row_of_slot[slots] = miss
-            self.buf = self.buf.at[:, jnp.asarray(slots)].set(prep["staged"])
         self.last_fetch = len(miss)
         self.last_evict = len(ev_rows)
 

