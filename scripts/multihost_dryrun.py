@@ -58,11 +58,14 @@ def main():
 
     # workload sized so per-view compute dominates per-step dispatch and
     # collective overhead (64 gaussians at 32^2 measured pure overhead:
-    # every step was ~5 ms of launch + Gloo latency regardless of devices)
-    width = height = 192
-    cfg = RasterizerConfig(tile_w=16, tile_h=8, max_dup=1 << 16)
+    # every step was ~5 ms of launch + Gloo latency regardless of devices;
+    # 192^2/8k still left ~100 ms of Gloo psum+barrier per step = 17% of
+    # the 4-core step — 256^2/16k is the smallest realistic chunk-training
+    # shape where the ratio reflects compute, not transport fixed costs)
+    width = height = 256
+    cfg = RasterizerConfig(tile_w=16, tile_h=8, max_dup=1 << 17)
     rng = np.random.default_rng(0)
-    n_pts = 8192
+    n_pts = 16384
     pts = rng.normal(size=(n_pts, 3)).astype(np.float32)
     pts[:, 2] += 4.0
     state = gm.create_from_points(pts,

