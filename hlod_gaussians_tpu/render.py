@@ -503,9 +503,6 @@ def render_lod_stream(
 
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
-    cut = _compute_cut(None, boxes, nodes, means3d, scales, alive, campos,
-                       world_view, target_size, pcache, use_frustum)
-
     cap = means3d.shape[0]
 
     def bucket_for(n_sel: int) -> int:
@@ -514,7 +511,10 @@ def render_lod_stream(
 
     if "budget" not in state:
         # first frame: blocking probe to seed the bucket (once per stream)
-        n0 = int(jnp.sum(cut.render_mask))
+        cut0 = _compute_cut(None, boxes, nodes, means3d, scales, alive,
+                            campos, world_view, target_size, pcache,
+                            use_frustum)
+        n0 = int(jnp.sum(cut0.render_mask))
         state["budget"] = bucket_for(n0)
         state["md"] = {}
         state["shrink"] = 0
@@ -531,10 +531,13 @@ def render_lod_stream(
         # to the right bucket in <=2 frames, while an overshoot would stay
         # forever (md is a monotonic high-water per bucket)
         md = state["md"].get(budget, max(md_floor, cap // 2))
+        # the cut is computed INSIDE the jitted render (passing a
+        # precomputed one would add a whole separate dispatch round trip
+        # per frame over a remote link; nothing here needs it on host)
         out, n_sel = render_lod_masked(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-            target_size, boxes, pcache, cut, interp_table,
+            target_size, boxes, pcache, None, interp_table,
             sh_degree=sh_degree, width=width, height=height,
             n_skybox=n_skybox,
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
@@ -544,7 +547,7 @@ def render_lod_stream(
         out, n_sel = render_lod(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-            target_size, boxes, None, pcache, cut, interp_table,
+            target_size, boxes, None, pcache, None, interp_table,
             sh_degree=sh_degree, width=width, height=height, budget=budget,
             n_skybox=n_skybox,
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
