@@ -254,6 +254,60 @@ def reuse_diff(prev_idx: jnp.ndarray, prev_dist: jnp.ndarray,
     return (new_dist >= lo) & (new_dist <= hi)
 
 
+def post_optimize_offloaded(
+    store: "PackedStore",
+    forest,
+    views,
+    *,
+    budget: int,
+    post: PostConfig = PostConfig(),
+    opt: OptimizationConfig = OptimizationConfig(),
+    cfg: RasterizerConfig = RasterizerConfig(),
+    width: int, height: int, k_max: int = 1024,
+    scene_extent: float = 1.0,
+    n_iters: Optional[int] = None,
+    bg=None,
+):
+    """Out-of-core post-training loop: the composed reference train_post
+    (train_post.py:323-491) — per-view SPT cut (with the cache_spts reuse
+    rule), device-resident row cache paging only the cut DELTA, and the
+    NEXT view's cut+gather prefetched while the device runs the current
+    step. The packed host store can exceed HBM by orders of magnitude
+    (50M rows = ~14 GB host at sh1).
+
+    Returns (trainer, losses list). The caller flushes/unpacks the store.
+    """
+    import jax.numpy as jnp_  # noqa: F401  (kept local for clarity)
+
+    trainer = DeviceResidentTrainer(
+        store, budget, opt=opt, post=post, cfg=cfg, width=width,
+        height=height, k_max=k_max, scene_extent=scene_extent)
+    cutter = CachedCutter(forest, store.capacity, post)
+    bg = jnp.zeros(3) if bg is None else bg
+    n_iters = len(views) if n_iters is None else n_iters
+
+    def rows_for(v):
+        c = cutter.cut(v.campos, v.full_proj)
+        idx, valid = cut_to_indices(c.gaussian_mask, budget)
+        return np.asarray(idx)[np.asarray(valid)]
+
+    losses = []
+    next_rows = rows_for(views[0])
+    for it in range(n_iters):
+        v = views[it % len(views)]
+        rows = next_rows
+        if it + 1 < n_iters:
+            nxt_v = views[(it + 1) % len(views)]
+            next_rows = rows_for(nxt_v)
+        else:
+            next_rows = None
+        loss, _ = trainer.step(
+            rows, v.world_view, v.full_proj, v.campos, v.tan_fovx,
+            v.tan_fovy, v.image, bg, prefetch_rows=next_rows)
+        losses.append(loss)
+    return trainer, losses
+
+
 class CachedCutter:
     """Per-view SPT working-set cuts with the fork's cache-reuse rule.
 

@@ -397,3 +397,44 @@ def test_stream_masked_crossover_paths_match():
     assert int(n_m) == int(n_b)
     np.testing.assert_allclose(np.asarray(out_m.image),
                                np.asarray(out_b.image), atol=2e-5)
+
+
+def test_render_lod_inference_not_differentiable():
+    """render_lod* force cfg.inference (binning skips gradient
+    bookkeeping); differentiating through one must raise at trace time
+    with a clear message, not silently return zero gradients."""
+    import jax
+    import pytest
+
+    from hlod_gaussians_tpu import render as render_mod
+    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.hierarchy import build as hb
+    from hlod_gaussians_tpu.utils.camera import make_camera
+
+    rng = np.random.default_rng(0)
+    n = 24
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    h = hb.build_hierarchy(
+        pts, np.full((n, 3), 0.05, np.float32),
+        np.tile(np.asarray([1, 0, 0, 0], np.float32), (n, 1)),
+        np.full((n,), 0.8, np.float32),
+        rng.random((n, 1, 3)).astype(np.float32) - 0.5)
+    m = h.nodes.shape[0]
+    cam = make_camera(np.eye(3), np.zeros(3), 1.0, 1.0, 32, 32)
+    cfg = RasterizerConfig(backend="pallas", tile_w=16, tile_h=8,
+                           max_dup=1 << 12)
+
+    def loss(pos):
+        out, _ = render_mod.render_lod(
+            jnp.asarray(pos), jnp.asarray(h.scale), jnp.asarray(h.quat),
+            jnp.asarray(np.clip(h.opacity, 0, 1)), jnp.asarray(h.sh),
+            jnp.asarray(h.nodes), jnp.ones((m,), bool),
+            cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy, jnp.zeros(3), 0.01,
+            sh_degree=0, width=32, height=32, budget=32, cfg=cfg,
+            k_max=64, use_frustum=False)
+        return out.image.sum()
+
+    with pytest.raises(ValueError, match="inference"):
+        jax.grad(loss)(h.pos)
