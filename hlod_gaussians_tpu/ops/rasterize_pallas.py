@@ -146,6 +146,42 @@ def _mm_dekker(a, b):
         precision=jax.lax.Precision.DEFAULT)
 
 
+def _shift_down(x, s: int):
+    """[CHUNK, pix] -> rows shifted down by ``s`` sublanes, zero-filled."""
+    return jnp.concatenate(
+        [jnp.zeros((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
+
+
+def _shift_up(x, s: int):
+    return jnp.concatenate(
+        [x[s:], jnp.zeros((s, x.shape[1]), x.dtype)], axis=0)
+
+
+def _scan_ex(x):
+    """Exclusive prefix sum over sublanes (== ``tril_strict @ x``) as a
+    log-depth Hillis-Steele shift-and-add on the VPU — 7 shifted adds of
+    [CHUNK, pix] instead of a 3-pass Dekker MXU matmul. The MXU is the
+    contended unit in both blend kernels (the quadratic-basis counter-finding,
+    docs/KERNEL_DESIGN.md), so prefix sums move OFF it; plain f32 adds are
+    also strictly more accurate than the bf16-split matmul."""
+    y = _shift_down(x, 1)
+    s = 1
+    while s < CHUNK:
+        y = y + _shift_down(y, s)
+        s *= 2
+    return y
+
+
+def _scan_suf(x):
+    """Strict suffix sum over sublanes (== ``usq_strict @ x``), VPU scan."""
+    y = _shift_up(x, 1)
+    s = 1
+    while s < CHUNK:
+        y = y + _shift_up(y, s)
+        s *= 2
+    return y
+
+
 def _mm_split22(a, b):
     """``a @ b`` via a 2x2 Dekker split dropping the tail x tail term:
     3 single-pass bf16 matmuls, relative error ~2^-17 per term (vs 2^-24
@@ -212,7 +248,7 @@ def _forward_kernel(starts_ref, counts_ref,
                     chunk_vmem, sem, seen_vmem, seen_sem,
                     *, tpb: int, gw: int, tile_h: int, tile_w: int,
                     width: int, height: int, t_eps: float, alpha_min: float,
-                    use_lod: bool, want_seen: bool):
+                    use_lod: bool, want_seen: bool, scan_impl: bool):
     # `tpb` tiles are processed per grid program: Pallas TPU grid steps run
     # sequentially with a ~2-4us fixed cost each (block DMAs + bookkeeping);
     # batching tiles amortizes that overhead across the whole 1080p grid.
@@ -226,7 +262,7 @@ def _forward_kernel(starts_ref, counts_ref,
                       seen_vmem, seen_sem, gw=gw, tile_h=tile_h,
                       tile_w=tile_w, width=width, height=height, t_eps=t_eps,
                       alpha_min=alpha_min, use_lod=use_lod,
-                      want_seen=want_seen)
+                      want_seen=want_seen, scan_impl=scan_impl)
         return _
 
     jax.lax.fori_loop(0, tpb, one_tile, 0)
@@ -236,7 +272,7 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
                   nc_ref, seen_hbm, chunk_vmem, sem, seen_vmem, seen_sem,
                   *, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float, alpha_min: float,
-                  use_lod: bool, want_seen: bool):
+                  use_lod: bool, want_seen: bool, scan_impl: bool):
     start = starts_ref[t]
     count = counts_ref[t]
     pix = tile_h * tile_w
@@ -305,7 +341,8 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
                 alpha_min=alpha_min, use_lod=use_lod, inside=inside)
 
             lg = jnp.log1p(-alpha)                          # 0 where masked
-            cum_ex = _mm_mask(tril, lg)                     # exclusive prefix
+            # exclusive prefix: VPU scan keeps the contended MXU free
+            cum_ex = _scan_ex(lg) if scan_impl else _mm_mask(tril, lg)
             log_before = logT_chain + cum_ex                # [CHUNK, pix]
             log_incl = log_before + lg
             # applied iff the inclusive CHAIN product stays above t_eps
@@ -378,13 +415,13 @@ def _pad_tiles(tile_starts, tile_counts, num_tiles: int, tpb: int):
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
                      "t_eps", "alpha_min", "use_lod", "want_seen", "tpb",
-                     "interpret"))
+                     "scan_impl", "interpret"))
 def blend_forward(entry_data, tile_starts, tile_counts, *,
                   num_tiles: int, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float = 1e-4,
                   alpha_min: float = 1.0 / 255.0,
                   use_lod: bool = False, want_seen: bool = False,
-                  tpb: int = 4,
+                  tpb: int = 4, scan_impl: bool = True,
                   interpret: bool = False):
     """entry_data [16, cap] (CHUNK-aligned tile ranges) ->
     (img4 [T, 4, pix], final_t [T, 1, pix], n_contrib [T, 1, pix][, seen_e])."""
@@ -396,7 +433,7 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
     kernel = functools.partial(
         _forward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
         width=width, height=height, t_eps=t_eps, alpha_min=alpha_min,
-        use_lod=use_lod, want_seen=want_seen)
+        use_lod=use_lod, want_seen=want_seen, scan_impl=scan_impl)
 
     out_specs = [
         pl.BlockSpec((tpb, 4, pix), lambda i, *_: (i, 0, 0),
@@ -464,7 +501,7 @@ def _backward_kernel(starts_ref, counts_ref,
                      chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
                      *, tpb: int, gw: int, tile_h: int, tile_w: int,
                      width: int, height: int, alpha_min: float,
-                     use_lod: bool):
+                     use_lod: bool, scan_impl: bool):
     # See _forward_kernel: tpb tiles per grid program amortize the fixed
     # per-program cost over the ~2k-tile 1080p grid.
     base = pl.program_id(0) * tpb
@@ -474,7 +511,8 @@ def _backward_kernel(starts_ref, counts_ref,
                        ft_ref, nc_ref, gimg_ref, gft_ref, egrad_hbm,
                        chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
                        gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
-                       height=height, alpha_min=alpha_min, use_lod=use_lod)
+                       height=height, alpha_min=alpha_min, use_lod=use_lod,
+                       scan_impl=scan_impl)
         return _
 
     jax.lax.fori_loop(0, tpb, one_tile, 0)
@@ -486,7 +524,8 @@ def _backward_tile(t, j, starts_ref, counts_ref,
                    egrad_hbm,
                    chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
                    *, gw: int, tile_h: int, tile_w: int,
-                   width: int, height: int, alpha_min: float, use_lod: bool):
+                   width: int, height: int, alpha_min: float, use_lod: bool,
+                   scan_impl: bool):
     start = starts_ref[t]
     count = counts_ref[t]
     pix = tile_h * tile_w
@@ -568,7 +607,8 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         # matmuls) becomes independent of the loop carry — the carry only
         # enters through [1, pix]-row multiplies — which shortens the
         # serial dependency chain between chunk iterations.
-        t_rel = jnp.exp(_mm_mask(tril, lg))                   # [CHUNK, pix]
+        cum_ex = _scan_ex(lg) if scan_impl else _mm_mask(tril, lg)
+        t_rel = jnp.exp(cum_ex)                               # [CHUNK, pix]
         t_start = jnp.exp(logT_start)                         # [1, pix]
         contrib0 = a * t_rel
         contrib = contrib0 * t_start
@@ -595,7 +635,8 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         # carry-free:  usq @ (pcg0 * T_start) = (usq @ pcg0) * T_start.
         cdotg = _mm_dekker(chunk[:, _ER:_EID + 1], g4)    # [CHUNK, pix]
         pcg0 = contrib0 * cdotg
-        suf_comb = _mm_mask(usq, pcg0) * t_start + s_comb
+        suf0 = _scan_suf(pcg0) if scan_impl else _mm_mask(usq, pcg0)
+        suf_comb = suf0 * t_start + s_comb
 
         # 1/(1-a) = exp(-log1p(-a)): the hw exp is ~3 VPU passes cheaper
         # than an f32 divide, and lg is already in registers; dT*final_t is
@@ -672,12 +713,13 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
-                     "alpha_min", "use_lod", "tpb", "interpret"))
+                     "alpha_min", "use_lod", "tpb", "scan_impl", "interpret"))
 def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
                    g_img4, g_final_t, *,
                    num_tiles: int, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float = 1.0 / 255.0,
                    use_lod: bool = False, tpb: int = 4,
+                   scan_impl: bool = True,
                    interpret: bool = False):
     """Hand-derived backward -> per-entry gradients [16, cap]."""
     pix = tile_h * tile_w
@@ -693,7 +735,8 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
         g_final_t = pad_rows(g_final_t)
     kernel = functools.partial(
         _backward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
-        width=width, height=height, alpha_min=alpha_min, use_lod=use_lod)
+        width=width, height=height, alpha_min=alpha_min, use_lod=use_lod,
+        scan_impl=scan_impl)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
