@@ -459,6 +459,59 @@ def render_lod_auto(
         md *= 2
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "cfg", "k_max",
+                     "antialiasing", "n_skybox", "use_frustum"))
+def _stream_frame_masked(means3d, scales, quats, opacities, shs, nodes,
+                         alive, world_view, full_proj, campos, tan_fovx,
+                         tan_fovy, bg, target_size, boxes, pcache,
+                         interp_table, *, sh_degree: int, width: int,
+                         height: int, n_skybox: int, cfg, k_max: int,
+                         antialiasing: bool, use_frustum: bool):
+    """One streaming frame (masked path) + PACKED feedback.
+
+    The regulation scalars (n_selected, truncated, n_dup) leave the device
+    as ONE [3] int32 array: one D2H interaction per frame instead of three
+    — over a remote-dispatch link every separate transfer costs 5-15 ms of
+    tunnel latency, which at 1M-node tau0 scale was most of the gap between
+    the raw masked frame and the streaming loop."""
+    out, n_sel = render_lod_masked(
+        means3d, scales, quats, opacities, shs, nodes, alive,
+        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+        target_size, boxes, pcache, None, interp_table,
+        sh_degree=sh_degree, width=width, height=height, n_skybox=n_skybox,
+        cfg=cfg, k_max=k_max, antialiasing=antialiasing,
+        use_frustum=use_frustum)
+    fb = jnp.stack([n_sel.astype(jnp.int32),
+                    out.truncated.astype(jnp.int32), out.n_dup])
+    return out, n_sel, fb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "width", "height", "cfg", "k_max",
+                     "antialiasing", "budget", "n_skybox", "use_frustum"))
+def _stream_frame_budget(means3d, scales, quats, opacities, shs, nodes,
+                         alive, world_view, full_proj, campos, tan_fovx,
+                         tan_fovy, bg, target_size, boxes, pcache,
+                         interp_table, *, sh_degree: int, width: int,
+                         height: int, budget: int, n_skybox: int, cfg,
+                         k_max: int, antialiasing: bool, use_frustum: bool):
+    """One streaming frame (budgeted path) + packed feedback; see
+    `_stream_frame_masked`."""
+    out, n_sel = render_lod(
+        means3d, scales, quats, opacities, shs, nodes, alive,
+        world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+        target_size, boxes, None, pcache, None, interp_table,
+        sh_degree=sh_degree, width=width, height=height, budget=budget,
+        n_skybox=n_skybox, cfg=cfg, k_max=k_max, antialiasing=antialiasing,
+        use_frustum=use_frustum)
+    fb = jnp.stack([n_sel.astype(jnp.int32),
+                    out.truncated.astype(jnp.int32), out.n_dup])
+    return out, n_sel, fb
+
+
 def render_lod_stream(
     means3d, scales, quats, opacities, shs, nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
@@ -534,39 +587,39 @@ def render_lod_stream(
         # the cut is computed INSIDE the jitted render (passing a
         # precomputed one would add a whole separate dispatch round trip
         # per frame over a remote link; nothing here needs it on host)
-        out, n_sel = render_lod_masked(
+        out, n_sel, fb = _stream_frame_masked(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-            target_size, boxes, pcache, None, interp_table,
+            target_size, boxes, pcache, interp_table,
             sh_degree=sh_degree, width=width, height=height,
             n_skybox=n_skybox,
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
             k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
     else:
         md = state["md"].get(budget, max(md_floor, 2 * budget))
-        out, n_sel = render_lod(
+        out, n_sel, fb = _stream_frame_budget(
             means3d, scales, quats, opacities, shs, nodes, alive,
             world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-            target_size, boxes, None, pcache, None, interp_table,
+            target_size, boxes, pcache, interp_table,
             sh_degree=sh_degree, width=width, height=height, budget=budget,
             n_skybox=n_skybox,
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
             k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
 
-    # start the D2H copies NOW (non-blocking): a blocking scalar fetch over
+    # start the D2H copy NOW (non-blocking): a blocking scalar fetch over
     # a remote-dispatch link flushes the whole queue (~30-55 ms measured);
-    # with the copy in flight the next frame's fetch is a local read
-    n_sel.copy_to_host_async()
-    out.truncated.copy_to_host_async()
-    out.n_dup.copy_to_host_async()
+    # with the copy in flight the next frame's fetch is a local read. The
+    # three regulation scalars ride ONE packed [3] array — one tunnel
+    # interaction per frame instead of three.
+    fb.copy_to_host_async()
 
     # resolve the PREVIOUS frame's feedback — its device work completed
     # while this frame was being enqueued, so these host reads overlap the
     # current frame's device compute instead of serializing with it
     prev = state.pop("pending", None)
     if prev is not None:
-        p_n, p_trunc, p_dup, p_budget, p_md = prev
-        p_n = int(p_n)
+        p_fb, p_budget, p_md = prev
+        p_n, p_trunc, p_dup = (int(v) for v in jax.device_get(p_fb))
         # binning/align/blend all pay O(max_dup), so the capacity should
         # hug the OBSERVED entry demand (n_dup; exact when not truncated,
         # == p_md when truncated so the margin still grows it).
@@ -589,7 +642,7 @@ def render_lod_stream(
                 state["shrink"] = 0
         else:
             state["shrink"] = 0
-    state["pending"] = (n_sel, out.truncated, out.n_dup, budget, md)
+    state["pending"] = (fb, budget, md)
     return out, n_sel
 
 

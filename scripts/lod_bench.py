@@ -72,14 +72,18 @@ def main():
         dict(means3d=pos, scales=scale, quats=quat, opacities=op, shs=sh),
         nodes))
 
+    bg = jax.block_until_ready(jnp.zeros(3))
     for tau in (0.0, 3.0, 6.0, 15.0):
         target = float(render_mod.tau_to_threshold(tau, float(cam.tan_fovx),
                                                    width))
+        # device-resident bg/threshold: a fresh jnp.zeros per frame is an
+        # extra tunnel interaction per frame (5-15 ms each)
+        tgt = jax.block_until_ready(jnp.float32(max(target, 1e-9)))
         def run():
             out, n_sel = render_mod.render_lod(
                 pos, scale, quat, op, sh, nodes, alive,
                 cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
-                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9), None, None,
+                cam.tan_fovy, bg, tgt, None, None,
                 pcache,
                 sh_degree=0, width=width, height=height,
                 budget=1 << 20, cfg=cfg, k_max=512, use_frustum=False)
@@ -108,7 +112,7 @@ def main():
             out = render_mod.render_lod_auto(
                 pos, scale, quat, op, sh, nodes, alive,
                 cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
-                cam.tan_fovy, jnp.zeros(3), max(target, 1e-9), None, pcache,
+                cam.tan_fovy, bg, tgt, None, pcache,
                 sh_degree=0, width=width, height=height,
                 cfg=cfg, k_max=512, use_frustum=False, md_state=md_state)
             return out[0].image
@@ -146,7 +150,7 @@ def main():
             out, _ = render_mod.render_lod_stream(
                 pos, scale, quat, op, sh, nodes, alive,
                 ci.world_view, ci.full_proj, ci.campos, ci.tan_fovx,
-                ci.tan_fovy, jnp.zeros(3), max(target, 1e-9), st,
+                ci.tan_fovy, bg, tgt, st,
                 pcache=pcache, interp_table=itab,
                 sh_degree=0, width=width, height=height,
                 cfg=cfg, k_max=512, use_frustum=False)
