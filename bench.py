@@ -25,6 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "scripts"))
 
+_T0 = time.perf_counter()
+# Driver-budget guard (round-3 lesson: BENCH_r03 was rc=124/parsed=null —
+# one cold Mosaic compile through the remote compile service blew the
+# driver's timeout and the round's official perf artifact was null).
+# The JSON line must come out even on a degraded run: the timed loop
+# stops early near the deadline, and iters adapt to whatever time is left.
+_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "540"))
+
+
+def _left():
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _note(msg):
+    print(f"[bench {time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def main():
     import jax
@@ -77,19 +94,29 @@ def main():
                   "f_rest"))
 
     # honesty check: every dup entry must fit (no silent truncation)
+    _note("compiling truncation check")
     chk = jax.jit(lambda *a: render(*a).truncated)(*args)
     assert not bool(chk), "bench scene overflows max_dup — fix the config"
 
     # compile + warmup
+    _note("compiling fwd+bwd step (cold = minutes via remote service; "
+          "warm = seconds from .jax_cache)")
     out = step(*args)
     jax.block_until_ready(out)
+    _note("compiled; timing")
 
-    iters = 20
+    # timed loop with a deadline: blocks of 5 steps until 20 iters are in
+    # or the budget is nearly spent (>=5 iters is enough at ~40 ms/step;
+    # steady-state variance on the tunnel is <2%)
+    iters = 0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
+    while iters < 20 and (iters < 5 or _left() > 15.0):
+        for _ in range(5):
+            out = step(*args)
+        jax.block_until_ready(out)
+        iters += 5
     dt = (time.perf_counter() - t0) / iters
+    _note(f"{iters} iters, {dt * 1e3:.2f} ms/step")
 
     mpix_s = width * height / dt / 1e6
     baseline_mpix_s = 124.4  # 60 fwd+bwd steps/s at 1080p

@@ -98,13 +98,12 @@ def render_arrays(
     tight = cfg.backend == "pallas" and cfg.tight_binning
     invdepth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
     if cfg.backend == "pallas":
-        from hlod_gaussians_tpu.ops.binning import bin_gaussians_aligned
+        from hlod_gaussians_tpu.ops.binning import bin_gaussians_compact
         from hlod_gaussians_tpu.ops import rasterize as rast
-        from hlod_gaussians_tpu.ops import rasterize_pallas as rp
-        abins = bin_gaussians_aligned(
+        abins = bin_gaussians_compact(
             jax.lax.stop_gradient(xy), jax.lax.stop_gradient(proj.depth),
             proj.radius, proj.valid,
-            width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup, rp.CHUNK,
+            width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup,
             ext=jax.lax.stop_gradient(proj.ext) if tight else None,
             reff2=jax.lax.stop_gradient(proj.reff2) if tight else None,
             need_grads=not cfg.inference)
@@ -606,12 +605,15 @@ def render_lod_stream(
             cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)),
             k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
 
-    # start the D2H copy NOW (non-blocking): a blocking scalar fetch over
+    # start the D2H copies NOW (non-blocking): a blocking scalar fetch over
     # a remote-dispatch link flushes the whole queue (~30-55 ms measured);
     # with the copy in flight the next frame's fetch is a local read. The
     # three regulation scalars ride ONE packed [3] array — one tunnel
-    # interaction per frame instead of three.
+    # interaction per frame instead of three. n_sel is RETURNED to the
+    # caller, so its copy rides the same dispatch — without it, a caller
+    # doing int(n_sel) per frame would pay the blocking queue flush.
     fb.copy_to_host_async()
+    n_sel.copy_to_host_async()
 
     # resolve the PREVIOUS frame's feedback — its device work completed
     # while this frame was being enqueued, so these host reads overlap the

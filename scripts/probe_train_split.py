@@ -1,5 +1,5 @@
 """Split the full training step's overhead over the raw fwd+bwd render:
-L1-only vs L1+SSIM loss, with/without sparse Adam + exposure.
+L1-only vs L1+SSIM gradient steps, plus an SSIM-only fwd+bwd probe.
 Uses the bench scene (same as train_step_bench.py)."""
 import os
 import sys
@@ -18,8 +18,6 @@ def main():
                           os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    import functools
 
     import jax.numpy as jnp
     import numpy as np

@@ -99,7 +99,7 @@ def main():
             for rep in range(2):
                 t0 = time.perf_counter()
                 for i in range(20):
-                    img = raw(6 + (i % 20))
+                    img = raw(6 + i)
                 jax.block_until_ready(img)
                 dt = (time.perf_counter() - t0) / 20
                 print(f"  masked no-feedback: {dt * 1e3:7.2f} ms/frame "
@@ -124,7 +124,7 @@ def main():
         for rep in range(2):
             t0 = time.perf_counter()
             for i in range(20):
-                img = stream(6 + (i % 20))
+                img = stream(6 + i)
             jax.block_until_ready(img)
             dt = (time.perf_counter() - t0) / 20
             print(f"  stream (packed fb): {dt * 1e3:7.2f} ms/frame "
