@@ -34,9 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hlod_gaussians_tpu.ops import rasterize_pallas as rp
-from hlod_gaussians_tpu.ops.binning import (AlignedBins, align_bins,
-                                            bin_gaussians,
-                                            bin_gaussians_aligned, tile_grid)
+from hlod_gaussians_tpu.ops.binning import (AlignedBins,
+                                            bin_gaussians_compact, tile_grid)
 from hlod_gaussians_tpu.ops.rasterize_xla import RenderOut
 
 
@@ -192,10 +191,10 @@ def rasterize_tiles(
 
     if want_seen and seen_e is not None:
         flags = jax.lax.stop_gradient(seen_e)                 # [1, cap]
-        # lanes past the last tile's padded range are never written — mask
+        # lanes past the real entries (dropped tail / never-written
+        # region) hold garbage — mask to the packed entry count
         cap = flags.shape[1]
-        last_pad = (-(-abins.tile_counts[-1] // rp.CHUNK)) * rp.CHUNK
-        end = abins.tile_starts[-1] + last_pad
+        end = abins.tile_starts[-1] + abins.tile_counts[-1]
         lane_ok = (jnp.arange(cap, dtype=jnp.int32) < end)[None, :]
         flags = jnp.where(lane_ok, flags, 0.0)
         seenf = jnp.zeros((1, n), jnp.float32).at[
@@ -218,10 +217,10 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
                           want_seen: bool = False,
                           tpb: int = 4,
                           interpret: bool = False) -> RenderOut:
-    """bin + align + blend in one call (binning is not differentiated)."""
-    abins = bin_gaussians_aligned(
+    """bin + blend in one call (binning is not differentiated)."""
+    abins = bin_gaussians_compact(
         jax.lax.stop_gradient(xy), jax.lax.stop_gradient(depth), radius,
-        valid, width, height, tile_w, tile_h, max_dup, rp.CHUNK,
+        valid, width, height, tile_w, tile_h, max_dup,
         ext=None if ext is None else jax.lax.stop_gradient(ext),
         reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
     return rasterize_tiles(abins, xy, conic, opacity, color, invdepth_g, bg,

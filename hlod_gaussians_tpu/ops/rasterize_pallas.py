@@ -233,7 +233,10 @@ def _chunk_alpha(chunk, pxf, pyf, count, base_k, *, alpha_min, use_lod,
         dalpha_dmy = None                 # identity chain when not LOD
 
     k = base_k + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-    pre = (power <= 0.0) & (alpha >= alpha_min) & (k < count)
+    # k >= 0 excludes the previous tile's entries at the head of a
+    # floor-aligned window (compact unaligned layout); [CHUNK,1] row masks
+    # broadcast into the pixel mask for free
+    pre = (power <= 0.0) & (alpha >= alpha_min) & (k >= 0) & (k < count)
     if inside is not None:
         pre = pre & inside
     aux = dict(dx=dx, dy=dy, G=G, opG=opG, power=power, k=k,
@@ -246,6 +249,7 @@ def _forward_kernel(starts_ref, counts_ref,
                     img_ref, ft_ref, nc_ref,          # VMEM out blocks
                     seen_hbm,                         # [1, cap] HBM out | None
                     chunk_vmem, sem, seen_vmem, seen_sem,
+                    seen_rmw_vmem, seen_rmw_sem,
                     *, tpb: int, gw: int, tile_h: int, tile_w: int,
                     width: int, height: int, t_eps: float, alpha_min: float,
                     use_lod: bool, want_seen: bool, scan_impl: bool):
@@ -259,7 +263,8 @@ def _forward_kernel(starts_ref, counts_ref,
     def one_tile(j, _):
         _forward_tile(base + j, j, starts_ref, counts_ref, entries_hbm,
                       img_ref, ft_ref, nc_ref, seen_hbm, chunk_vmem, sem,
-                      seen_vmem, seen_sem, gw=gw, tile_h=tile_h,
+                      seen_vmem, seen_sem, seen_rmw_vmem, seen_rmw_sem,
+                      gw=gw, tile_h=tile_h,
                       tile_w=tile_w, width=width, height=height, t_eps=t_eps,
                       alpha_min=alpha_min, use_lod=use_lod,
                       want_seen=want_seen, scan_impl=scan_impl)
@@ -270,6 +275,7 @@ def _forward_kernel(starts_ref, counts_ref,
 
 def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
                   nc_ref, seen_hbm, chunk_vmem, sem, seen_vmem, seen_sem,
+                  seen_rmw_vmem, seen_rmw_sem,
                   *, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float, alpha_min: float,
                   use_lod: bool, want_seen: bool, scan_impl: bool):
@@ -277,29 +283,47 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
     count = counts_ref[t]
     pix = tile_h * tile_w
 
+    # compact (unaligned) ranges: walk the floor-aligned WINDOW around the
+    # tile's [start, start+count) slice; `ofs` head entries belong to the
+    # PREVIOUS tile and are masked out via k >= 0. Aligned layouts
+    # degenerate to ofs == 0.
+    astart = (start // CHUNK) * CHUNK
+    ofs = start - astart
+
     px, py = _pixel_xy(t, gw, tile_h, tile_w, pix)
     inside = (px < width) & (py < height)                    # [1, pix]
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
 
-    n_chunks = pl.cdiv(count, CHUNK)
+    n_chunks = pl.cdiv(ofs + count, CHUNK)
     tril = _tri_strict()
 
     def dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             entries_hbm.at[:, pl.ds(off, CHUNK)],
             chunk_vmem.at[slot], sem.at[slot])
 
     def seen_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             seen_vmem.at[slot], seen_hbm.at[:, pl.ds(off, CHUNK)],
             seen_sem.at[slot])
 
+    def seen_rmw_dma():
+        # read the boundary chunk's flags (written by the previous tile —
+        # grid programs run sequentially, its DMAs drained at tile end)
+        return pltpu.make_async_copy(
+            seen_hbm.at[:, pl.ds(pl.multiple_of(astart, CHUNK), CHUNK)],
+            seen_rmw_vmem, seen_rmw_sem)
+
     @pl.when(n_chunks > 0)
     def _():
         dma(0, 0).start()
+    if want_seen:
+        @pl.when((n_chunks > 0) & (ofs > 0))
+        def _():
+            seen_rmw_dma().start()
 
     def body(c, carry):
         # TWO transmittance chains cross chunks (the sticky-early-stop
@@ -337,7 +361,7 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
             logT, logT_chain, acc4, n_contrib = args
             chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
             alpha, pre, aux = _chunk_alpha(
-                chunk, pxf, pyf, count, c * CHUNK,
+                chunk, pxf, pyf, count, c * CHUNK - ofs,
                 alpha_min=alpha_min, use_lod=use_lod, inside=inside)
 
             lg = jnp.log1p(-alpha)                          # 0 where masked
@@ -377,6 +401,14 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
         out = jax.lax.cond(saturated, skip, process,
                            (logT, logT_chain, acc4, n_contrib))
         if want_seen:
+            # boundary chunk: MERGE with the previous tile's flags (its
+            # rows carry zeros in our flag vector and vice versa) so the
+            # shared chunk accumulates both tiles' entries
+            @pl.when((c == 0) & (ofs > 0))
+            def _():
+                seen_rmw_dma().wait()
+                seen_vmem[slot, 0] = jnp.maximum(seen_vmem[slot, 0],
+                                                 seen_rmw_vmem[0])
             seen_dma(slot, c).start()
         return out
 
@@ -467,6 +499,8 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 1, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
 
@@ -499,6 +533,7 @@ def _backward_kernel(starts_ref, counts_ref,
                      ft_ref, nc_ref, gimg_ref, gft_ref,
                      egrad_hbm,
                      chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
+                     rmw_vmem, rmw_sem,
                      *, tpb: int, gw: int, tile_h: int, tile_w: int,
                      width: int, height: int, alpha_min: float,
                      use_lod: bool, scan_impl: bool):
@@ -510,6 +545,7 @@ def _backward_kernel(starts_ref, counts_ref,
         _backward_tile(base + j, j, starts_ref, counts_ref, entries_hbm,
                        ft_ref, nc_ref, gimg_ref, gft_ref, egrad_hbm,
                        chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
+                       rmw_vmem, rmw_sem,
                        gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
                        height=height, alpha_min=alpha_min, use_lod=use_lod,
                        scan_impl=scan_impl)
@@ -523,12 +559,20 @@ def _backward_tile(t, j, starts_ref, counts_ref,
                    ft_ref, nc_ref, gimg_ref, gft_ref,
                    egrad_hbm,
                    chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
+                   rmw_vmem, rmw_sem,
                    *, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float, use_lod: bool,
                    scan_impl: bool):
     start = starts_ref[t]
     count = counts_ref[t]
     pix = tile_h * tile_w
+    # compact (unaligned) ranges: see _forward_tile. The one chunk shared
+    # with the PREVIOUS tile is read-modify-written (sequential grid
+    # programs make the predecessor's write visible); all other chunks are
+    # exclusive. Foreign rows carry exactly-zero gradients (`applied`
+    # masks every output), so the merge is a plain add.
+    astart = (start // CHUNK) * CHUNK
+    ofs = start - astart
 
     px, py = _pixel_xy(t, gw, tile_h, tile_w, pix)
     inside = (px < width) & (py < height)
@@ -545,41 +589,57 @@ def _backward_tile(t, j, starts_ref, counts_ref,
     dT_total = gft_ref[j]
     dTf = dT_total * final_t              # [1, pix] loop-invariant
 
-    n_chunks = pl.cdiv(count, CHUNK)
+    n_chunks = pl.cdiv(ofs + count, CHUNK)
     # entries beyond the last applied one have identically-zero gradients;
     # only walk chunks that contain applied entries, zero-fill the rest
+    # (the chunk holding tile-relative entry k is (k + ofs) // CHUNK)
     max_nc = jnp.max(n_contrib)
-    n_act = jnp.minimum(pl.cdiv(max_nc, CHUNK), n_chunks)
+    n_act = jnp.minimum(
+        jnp.where(max_nc > 0, pl.cdiv(max_nc + ofs, CHUNK), 0), n_chunks)
     tril = _tri_strict()
     usq = _usq_strict()
 
     def dma_in(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             entries_hbm.at[:, pl.ds(off, CHUNK)],
             chunk_vmem.at[slot], sem.at[slot])
 
     def dma_out(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(astart + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             grad_vmem.at[slot], egrad_hbm.at[:, pl.ds(off, CHUNK)],
             osem.at[slot])
 
-    # zero-fill the inactive tail chunks [n_act, n_chunks)
+    def rmw_dma():
+        return pltpu.make_async_copy(
+            egrad_hbm.at[:, pl.ds(pl.multiple_of(astart, CHUNK), CHUNK)],
+            rmw_vmem, rmw_sem)
+
+    # zero-fill the inactive tail chunks [z_lo, n_chunks); chunk 0 is
+    # skipped when shared with the previous tile (ofs > 0) — that tile
+    # already wrote it, with zeros in our rows
     zero_vmem[...] = jnp.zeros((N_GRAD_COLS, CHUNK), jnp.float32)
+    z_lo = jnp.maximum(n_act, jnp.where(ofs > 0, 1, 0))
 
     def zfill(z, _):
-        off = pl.multiple_of(start + (n_act + z) * CHUNK, CHUNK)
+        off = pl.multiple_of(astart + (z_lo + z) * CHUNK, CHUNK)
         pltpu.make_async_copy(
             zero_vmem, egrad_hbm.at[:, pl.ds(off, CHUNK)], zsem).start()
         return _
 
-    n_zero = n_chunks - n_act
+    n_zero = n_chunks - z_lo
     jax.lax.fori_loop(0, n_zero, zfill, 0)
 
     @pl.when(n_act > 0)
     def _():
         dma_in(0, n_act - 1).start()
+
+    @pl.when((n_act > 0) & (ofs > 0))
+    def _():
+        # prefetch the boundary chunk's accumulated grads; merged when the
+        # reverse walk reaches chunk 0 (this tile's final iteration)
+        rmw_dma().start()
 
     def body(ci, carry):
         logT_end, s_comb = carry   # combined g-weighted suffix sum [1, pix]
@@ -593,7 +653,7 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 
         chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
         alpha, pre, aux = _chunk_alpha(
-            chunk, pxf, pyf, count, c * CHUNK,
+            chunk, pxf, pyf, count, c * CHUNK - ofs,
             alpha_min=alpha_min, use_lod=use_lod, inside=inside)
 
         applied = pre & (aux["k"] + 1 <= n_contrib)
@@ -681,7 +741,18 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         @pl.when(ci >= 2)
         def _():
             dma_out(slot, 0).wait()
-        grad_vmem[slot] = jnp.transpose(g16)           # [16, CHUNK]
+        is_boundary = (c == 0) & (ofs > 0)
+
+        @pl.when(is_boundary)
+        def _():
+            # merge with the previous tile's grads in the shared chunk
+            # (our foreign rows are exactly zero, theirs are in ours)
+            rmw_dma().wait()
+            grad_vmem[slot] = jnp.transpose(g16) + rmw_vmem[...]
+
+        @pl.when(jnp.logical_not(is_boundary))
+        def _():
+            grad_vmem[slot] = jnp.transpose(g16)       # [16, CHUNK]
         dma_out(slot, c).start()
 
         s_comb_n = s_comb + jnp.sum(pcg0, axis=0, keepdims=True) * t_start
@@ -758,6 +829,8 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, N_GRAD_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_GRAD_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((N_GRAD_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],

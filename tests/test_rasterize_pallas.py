@@ -404,6 +404,75 @@ def test_early_stop_sticky_across_chunks():
     np.testing.assert_allclose(g_pal / s, g_ref / s, atol=3e-4)
 
 
+def test_compact_unaligned_boundary_paths():
+    """Round-4 compact (unaligned) layout: tiles share boundary chunks.
+
+    Exercises the paths the generic parity tests may miss: (a) a tile whose
+    entries NEVER apply (alpha < alpha_min => max n_contrib == 0) sitting
+    between active tiles — its zero-fill must skip the shared chunk 0
+    (ofs > 0) instead of clobbering the predecessor's gradients; (b) seen
+    flags merged across a shared chunk via RMW-max."""
+    n = 180
+    rng = np.random.default_rng(31)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 1.2
+    xyz[:, 2] = 4.0 + rng.uniform(-1, 1, n)
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.4 - 1.6).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    ops = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    # a band of near-invisible gaussians: their entries bin but never apply
+    ops[60:120] = 1e-4
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, W, H)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+    bg = jnp.full((3,), 0.15)
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP)
+    # the scene must actually produce unaligned tile starts
+    starts = np.asarray(bins.tile_starts)
+    counts = np.asarray(bins.tile_counts)
+    assert ((starts % 128 != 0) & (counts > 0)).any()
+
+    out_ref = rasterize_scan(
+        bins, proj.xy, proj.conic, proj.opacity, color, invd, bg, None,
+        None, width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, k_max=256)
+    out_pal = rasterize_pallas_full(
+        proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
+        proj.opacity, color, invd, bg,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, max_dup=MAX_DUP,
+        want_seen=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pal.image),
+                               np.asarray(out_ref.image), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out_pal.seen),
+                                  np.asarray(out_ref.seen))
+    assert not np.asarray(out_pal.seen)[60:120].any()
+
+    def loss_pal(op, col):
+        out = rasterize_pallas_full(
+            proj.xy, proj.depth, proj.radius, proj.valid, proj.conic, op,
+            col, invd, bg, width=W, height=H, tile_w=TILE_W, tile_h=TILE_H,
+            max_dup=MAX_DUP, interpret=True)
+        return (out.image * jnp.sin(jnp.arange(out.image.size)
+                                    .reshape(out.image.shape))).sum()
+
+    def loss_ref(op, col):
+        out = rasterize_scan(
+            bins, proj.xy, proj.conic, op, col, invd, bg, None, None,
+            width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, k_max=256)
+        return (out.image * jnp.sin(jnp.arange(out.image.size)
+                                    .reshape(out.image.shape))).sum()
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(proj.opacity, color)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(proj.opacity, color)
+    for name, gp, gr in zip(("op", "color"), g_pal, g_ref):
+        gp, gr = np.asarray(gp), np.asarray(gr)
+        s = np.abs(gr).max() + 1e-12
+        np.testing.assert_allclose(gp / s, gr / s, atol=3e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("tight", [False, True])
 def test_bin_aligned_equals_align_bins(tight):
     """Fused sort-based alignment == bin_gaussians + align_bins (round-3
