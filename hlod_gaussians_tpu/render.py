@@ -631,6 +631,11 @@ def render_lod_stream(
                                  cfg.max_dup, cfg.max_dup)
         if bool(p_trunc):
             want_md = max(want_md, min(p_md * 2, cfg.max_dup))
+            # telemetry: a truncated frame RENDERED degraded (the stream
+            # path never re-renders; the capacity only grows next frame) —
+            # surface it so regulation lag is visible between rounds
+            state["n_truncated_frames"] = \
+                state.get("n_truncated_frames", 0) + 1
         if want_md > state["md"].get(p_budget, 0):
             state["md"][p_budget] = want_md
         want = bucket_for(p_n)

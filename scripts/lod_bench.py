@@ -2,7 +2,9 @@
 
 Builds a ~1M-node merge hierarchy from 512k synthetic leaves, then times
 `render_lod` (granularity cut -> parent interpolation -> LOD-alpha blend)
-across tau levels. Prints one JSON line per tau.
+across tau levels. Prints one JSON line per tau and records everything
+(including per-tau escalation/truncation telemetry from the auto and
+stream regulation loops) into LOD_r04.json.
 """
 
 import json
@@ -73,6 +75,7 @@ def main():
         nodes))
 
     bg = jax.block_until_ready(jnp.zeros(3))
+    record = {"rows": []}
     for tau in (0.0, 3.0, 6.0, 15.0):
         target = float(render_mod.tau_to_threshold(tau, float(cam.tan_fovx),
                                                    width))
@@ -97,12 +100,14 @@ def main():
             img, n_sel = run()
         jax.block_until_ready(img)
         dt = (time.perf_counter() - t0) / iters
-        print(json.dumps({
+        row = {
             "metric": f"lod_render_1080p_tau{tau:g}",
             "value": round(width * height / dt / 1e6, 2),
             "unit": "Mpix/s",
             "fps": round(1.0 / dt, 1),
-            "n_rendered": int(n_sel)}), flush=True)
+            "n_rendered": int(n_sel)}
+        record["rows"].append(row)
+        print(json.dumps(row), flush=True)
 
         # budget-bucketed variant: the cut budget tracks the actual size;
         # md_state persists the escalated binning capacity across frames
@@ -124,10 +129,17 @@ def main():
             img = run_auto()
         jax.block_until_ready(img)
         dt = (time.perf_counter() - t0) / iters
-        print(json.dumps({
+        row = {
             "metric": f"lod_render_auto_1080p_tau{tau:g}",
             "value": round(width * height / dt / 1e6, 2),
-            "unit": "Mpix/s", "fps": round(1.0 / dt, 1)}), flush=True)
+            "unit": "Mpix/s", "fps": round(1.0 / dt, 1),
+            # regulation telemetry (round-4 directive #9): every escalation
+            # is a silent full re-render — regressions show as counters
+            "n_escalations": int(md_state.get("n_escalations", 0)),
+            "md_buckets": {str(k): int(v) for k, v in md_state.items()
+                           if isinstance(k, int)}}
+        record["rows"].append(row)
+        print(json.dumps(row), flush=True)
 
         # streaming variant: one-frame-lagged regulation, orbiting camera
         # (the realistic viewer loop — no per-frame host sync)
@@ -165,10 +177,27 @@ def main():
             img = run_stream(6 + i)
         jax.block_until_ready(img)
         dt = (time.perf_counter() - t0) / n_frames
-        print(json.dumps({
+        row = {
             "metric": f"lod_render_stream_1080p_tau{tau:g}",
             "value": round(width * height / dt / 1e6, 2),
-            "unit": "Mpix/s", "fps": round(1.0 / dt, 1)}), flush=True)
+            "unit": "Mpix/s", "fps": round(1.0 / dt, 1),
+            # one-frame-lag feedback telemetry: truncated frames rendered
+            # DEGRADED (capacity grows next frame); the settled buckets
+            # show where the regulation converged
+            "n_truncated_frames": int(st.get("n_truncated_frames", 0)),
+            "budget_bucket": (st.get("budget") if isinstance(
+                st.get("budget"), (int, str)) else None),
+            "md_buckets": {str(k): int(v)
+                           for k, v in st.get("md", {}).items()}}
+        record["rows"].append(row)
+        print(json.dumps(row), flush=True)
+
+    record["provenance"] = (
+        f"single v5e via remote tunnel; {m}-node tree from {n_leaves} "
+        f"synthetic leaves, 1080p, 26-frame orbit for stream rows")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "LOD_r04.json"), "w") as f:
+        json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

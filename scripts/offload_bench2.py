@@ -1,13 +1,14 @@
 """Out-of-core benchmark at the reference envelope (round-3 directive #4).
 
-Store-size curve 2M -> 8M -> 16M (-> 50M = the reference train_post
-operating point, train_post.py:71) with 32k-row working sets, measuring:
+Store-size curve 2M -> 8M -> 16M -> 50M (the reference train_post Max_Cap
+operating point, train_post.py:71; ~13.8 GB packed on this 125 GB host)
+with 32k-row working sets, measuring:
   * resident step (whole working set on device, no paging) — the floor;
   * warm out-of-core step WITHOUT prefetch (host work serialized);
   * warm out-of-core step WITH prefetch (host gather of view k+1 overlaps
     the device compute of view k).
 Target: warm+prefetch <= 2x resident at the same working-set size.
-Writes OFFLOAD_r03.json.
+Writes OFFLOAD_r04.json.
 """
 
 import json
@@ -73,15 +74,15 @@ def main():
           flush=True)
     results["resident_ms"] = round(res_ms, 1)
 
-    for cap_log2 in (21, 23, 24):
-        cap = 1 << cap_log2
+    for cap in (1 << 21, 1 << 23, 1 << 24, 1526 * ws):
         reps = cap // ws
         t0 = time.perf_counter()
         data = np.tile(tile, (reps, 1))
         build_s = time.perf_counter() - t0
         store = offload.PackedStore(data, sh_degree=1)
         gb = data.nbytes / 1e9
-        print(f"--- store {cap >> 20}M rows ({gb:.1f} GB host, "
+        name = f"{cap / (1 << 20):.0f}M"
+        print(f"--- store {name} rows ({gb:.1f} GB host, "
               f"built {build_s:.0f}s)", flush=True)
         tr = offload.DeviceResidentTrainer(
             store, budget=ws, cfg=cfg, width=W, height=H, k_max=256,
@@ -129,7 +130,7 @@ def main():
         pipe_ms = (time.perf_counter() - t0) / n_pipe * 1e3
         print(f"  warm steady-state (pipelined): {pipe_ms:7.1f} ms "
               f"({pipe_ms / res_ms:.2f}x resident)", flush=True)
-        results[f"store_{cap >> 20}M"] = dict(
+        results[f"store_{name}"] = dict(
             cold_ms=round(cold, 1), warm_ms=round(seq_ms, 1),
             warm_prefetch_ms=round(pre_ms, 1),
             warm_steady_ms=round(pipe_ms, 1),
@@ -143,7 +144,7 @@ def main():
     results["provenance"] = ("single v5e via remote tunnel; 32k working "
                              "set, 2k/view drift, 512x512 render, sh1 "
                              "packed rows (params+Adam, 276 B/row)")
-    with open(os.path.join(ROOT, "OFFLOAD_r03.json"), "w") as f:
+    with open(os.path.join(ROOT, "OFFLOAD_r04.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results), flush=True)
     print("OFFLOAD BENCH OK" if ok else "OFFLOAD BENCH: target missed",

@@ -90,13 +90,38 @@ def measure_best(attempts: int = 3, target: float = 0.85):
     return best, history
 
 
+def measure_median(shape=(2, 2), attempts: int = 3):
+    """Round-4 directive #7: the number must be reproducible on demand,
+    not best-of-N. Runs `attempts` CONSECUTIVE measurements of one mesh
+    shape and reports the MEDIAN (with the full history and per-attempt
+    loadavg so a contended run is visible in the artifact)."""
+    import statistics
+    nproc, ndev = shape
+    history = []
+    effs = []
+    for a in range(attempts):
+        load = os.getloadavg()[0]
+        eff, base, multi = measure(29741 + 2 * a, nproc, ndev)
+        effs.append(eff)
+        history.append(dict(attempt=a, shape=f"{nproc}x{ndev}",
+                            efficiency=round(eff, 3),
+                            loadavg_before=round(load, 2)))
+        print(f"attempt {a} ({nproc}x{ndev}): efficiency {eff:.3f} "
+              f"(load {load:.2f})", flush=True)
+    med = statistics.median(effs)
+    return med, history, base, multi
+
+
 def main():
-    (eff, base, multi), history = measure_best()
+    med, history, base, multi = measure_median()
     result = dict(ok=True, baseline=base, multi=multi,
-                  equal_work_efficiency=round(eff, 3),
+                  equal_work_efficiency_median3=round(med, 3),
                   attempts=history,
-                  target=0.85, meets_target=eff >= 0.85)
-    out = os.path.join(REPO, "MULTIHOST_r03.json")
+                  target=0.85, meets_target=med >= 0.85,
+                  provenance="median of 3 consecutive 2x2 attempts, "
+                             "taskset-pinned (1-core baseline vs 2 procs "
+                             "x 2 cores), CPU + Gloo TCP transport")
+    out = os.path.join(REPO, "MULTIHOST_r04.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

@@ -1,13 +1,22 @@
-"""At-scale end-to-end pipeline on the real TPU (round-3 directive #3).
+"""At-scale end-to-end pipeline on the real TPU (round-4 directive #2).
 
 220k-leaf, 4-chunk synthetic scene through the FULL composed pipeline —
 coarse scaffold -> scaffold-conditioned chunk training -> hierarchy build
 -> SPT post-optimization (with one MCMC densify round per chunk) -> merge
 -> tau-sweep eval on held-out views. Records per-stage wall-clock (parsed
-from the metrics jsonl) + tau PSNR/SSIM/GMSD into PIPELINE_r03.json.
+from the metrics jsonl) + tau PSNR/SSIM/GMSD into PIPELINE_r04.json.
 
-Scale targets (VERDICT.md round-3 #3): >=200k leaves, >=4 chunks,
->=400k merged nodes, tree depth > 10, graceful tau curve.
+Round-4 scene redesign (the r03 curve was flat because detail was not
+attributable): GT colors are a structured multi-band spatial field
+(lod_fidelity_probe.structured_colors — iid-random colors are spatial
+noise whose coarse average scores as well as the leaves), and the
+held-out ring cameras INTERLEAVE the training ring (12 per cluster,
+8 train / 4 test) so test frusta match trained coverage. The 4 global
+orbit cams never train and are reported as a separate generalization
+curve, not folded into the headline tau sweep.
+
+Scale targets: >=200k leaves, >=4 chunks, >=400k merged nodes, tree
+depth > 10, and tau0 beating tau15 on the held-out ring views.
 """
 
 import json
@@ -16,6 +25,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -52,6 +62,7 @@ def main():
     CAP = 1 << 18
 
     # ---- ground truth: 4 spatial clusters, 55k Gaussians each ----------
+    from lod_fidelity_probe import structured_colors
     rng = np.random.default_rng(7)
     per = 55_000
     centers = np.array([[-1.5, -1.5, 5.0], [1.5, -1.5, 5.0],
@@ -60,13 +71,14 @@ def main():
         (rng.normal(size=(per, 3)) * [0.8, 0.8, 0.5] + c).astype(np.float32)
         for c in centers])
     n = pts.shape[0]
-    cols = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    # structured multi-band color field: coarse cuts MUST blur it, unlike
+    # r03's iid-random colors (spatial noise averages to the same mean at
+    # any granularity)
+    cols = structured_colors(pts)
     gt_state = gm.create_from_points(pts, cols, capacity=CAP, sh_degree=1,
                                      opacity_init=0.8)
     act = gm.activate(gt_state)
 
-    # cameras: 6 per cluster aimed at it + 8 global orbit; every 5th view
-    # held out for eval
     def cam_at(pos, look):
         fwd = look - pos
         fwd = fwd / np.linalg.norm(fwd)
@@ -80,13 +92,15 @@ def main():
         T = -Rwc @ pos
         return make_camera(Rwc.T, T, 1.0, 1.0, W, H)
 
-    # 6 cams ring per cluster (radius 1.1 keeps each ring inside its own
-    # 2.7-wide camera-grid cell -> exactly a 2x2 chunking) + 4 global
-    # eval-only cams
+    # 12 cams ring per cluster (radius 1.1 keeps each ring inside its own
+    # 2.7-wide camera-grid cell -> exactly a 2x2 chunking); every 3rd cam
+    # held out, so test frusta interleave trained frusta. + 4 global
+    # eval-only orbit cams (never trained, reported separately).
+    ring_n = 12
     cams = []
     for c in centers:
-        for k in range(6):
-            ang = 2 * np.pi * (k + 0.5) / 6
+        for k in range(ring_n):
+            ang = 2 * np.pi * (k + 0.5) / ring_n
             pos = c + np.array([1.1 * np.cos(ang), 1.1 * np.sin(ang), -3.5],
                                np.float32)
             cams.append(cam_at(pos.astype(np.float64), c.astype(np.float64)))
@@ -111,12 +125,13 @@ def main():
     print(f"GT renders: {len(views)} views in "
           f"{time.perf_counter() - t0:.0f}s", flush=True)
 
-    # train: 5 of 6 per-cluster ring cams; test: the 6th of each ring + the
-    # 4 global orbit cams (global cams NEVER train — they also keep the
+    # train: 8 of 12 per-cluster ring cams; ring test: the interleaved
+    # 4 of 12; the 4 global orbit cams NEVER train (they also keep the
     # camera-grid chunking at exactly 2x2)
-    train_views = [v for i, v in enumerate(views[:24]) if i % 6 != 0]
-    test_views = [v for i, v in enumerate(views[:24]) if i % 6 == 0] \
-        + views[24:]
+    n_ring = 4 * ring_n
+    train_views = [v for i, v in enumerate(views[:n_ring]) if i % 3 != 0]
+    ring_test_views = [v for i, v in enumerate(views[:n_ring]) if i % 3 == 0]
+    global_test_views = views[n_ring:]
 
     class FakeInfo:
         def __init__(self, v):
@@ -142,7 +157,7 @@ def main():
                       max_sh_degree=1)
     mcfg = ModelConfig(sh_degree=1)
 
-    mpath = "/tmp/tpu_pipe_scale/metrics.jsonl"
+    mpath = "/tmp/tpu_pipe_scale_r04/metrics.jsonl"
     resumed = os.path.exists(mpath)
     logger = MetricsLogger(mpath)
     t0 = time.perf_counter()
@@ -150,7 +165,7 @@ def main():
     # artifacts resume instead of recomputing (the reference's
     # --skip_if_exists restart story, scripts/full_train.py:58)
     merged = full_train.run_pipeline(
-        scene, view_loader=lambda ci: ci.v, output_dir="/tmp/tpu_pipe_scale",
+        scene, view_loader=lambda ci: ci.v, output_dir="/tmp/tpu_pipe_scale_r04",
         pcfg=pcfg, opt=opt, post=post, cfg=CFG, mcfg=mcfg, logger=logger,
         skip_if_exists=True)
     t_total = time.perf_counter() - t0
@@ -177,40 +192,59 @@ def main():
 
     cap_m = 1 << int(np.ceil(np.log2(merged.pos.shape[0] + 1)))
     st = post_mod.create_from_dhier(merged, capacity=cap_m)
-    gts = [np.asarray(v.image) for v in test_views]
     taus = [0.0, 3.0, 6.0, 15.0]
-    t0 = time.perf_counter()
-    tau_results = eval_mod.eval_views(
-        st, test_views, gts, levels=taus, level_is_tau=True,
-        budget=1 << 19, cfg=CFG_FULL, k_max=1024,
-        warn=lambda *a, **k: None)
-    sweep = []
-    for tau, r in zip(taus, tau_results):
-        print(f"tau {tau:g}: PSNR {r.psnr:.2f} SSIM {r.ssim:.3f} "
-              f"GMSD {r.gmsd:.4f} rendered {r.mean_rendered:.0f}",
+
+    def sweep_for(vs, label):
+        gts = [np.asarray(v.image) for v in vs]
+        t0 = time.perf_counter()
+        res = eval_mod.eval_views(
+            st, vs, gts, levels=taus, level_is_tau=True,
+            budget=1 << 19, cfg=CFG_FULL, k_max=1024,
+            warn=lambda *a, **k: None)
+        rows = []
+        for tau, r in zip(taus, res):
+            print(f"[{label}] tau {tau:g}: PSNR {r.psnr:.2f} SSIM "
+                  f"{r.ssim:.3f} GMSD {r.gmsd:.4f} rendered "
+                  f"{r.mean_rendered:.0f}", flush=True)
+            rows.append(dict(tau=tau, psnr=round(r.psnr, 3),
+                             ssim=round(r.ssim, 4), gmsd=round(r.gmsd, 5),
+                             mean_rendered=round(r.mean_rendered, 1)))
+        print(f"[{label}] sweep: {time.perf_counter() - t0:.0f}s",
               flush=True)
-        sweep.append(dict(tau=tau, psnr=round(r.psnr, 3),
-                          ssim=round(r.ssim, 4), gmsd=round(r.gmsd, 5),
-                          mean_rendered=round(r.mean_rendered, 1)))
-    print(f"tau sweep: {time.perf_counter() - t0:.0f}s", flush=True)
+        return rows
+
+    # headline: held-out ring views whose frusta interleave trained ones
+    sweep = sweep_for(ring_test_views, "ring-heldout")
+    # generalization: the never-trained global orbit (separate curve —
+    # folding it into the headline hid the LOD signal in r03)
+    sweep_g = sweep_for(global_test_views, "global-orbit")
+
     assert sweep[0]["psnr"] > 20.0, sweep
     assert sweep[0]["mean_rendered"] > sweep[-1]["mean_rendered"]
+    # the LOD promise at pipeline scale: full detail beats the coarsest
+    # cut on held-out views (round-4 directive #2)
+    spread = sweep[0]["psnr"] - sweep[-1]["psnr"]
+    print(f"ring-heldout tau0 - tau15 = {spread:+.2f} dB", flush=True)
+    assert spread >= 1.0, (spread, sweep)
 
     rec = dict(
         provenance="single v5e via remote tunnel; synthetic 4-cluster "
-                   "scene, 220k GT leaves, 512x512, 20 train / 8 test "
-                   "views; full composed pipeline (coarse->chunks->"
-                   "hierarchy->post+MCMC->merge)"
-                   + (" — resumed via skip_if_exists after a tunnel "
-                      "stall, so pipeline_seconds/stage walls span the "
-                      "resumed portion plus reloads" if resumed else ""),
+                   "scene, 220k GT leaves with structured multi-band "
+                   "colors, 512x512, 32 train / 16 interleaved ring test "
+                   "+ 4 never-trained orbit views; full composed pipeline "
+                   "(coarse->chunks->hierarchy->post+MCMC->merge)"
+                   + (" — resumed via skip_if_exists after a stall, so "
+                      "pipeline_seconds/stage walls span the resumed "
+                      "portion plus reloads" if resumed else ""),
         pipeline_seconds=round(t_total, 1),
         stage_walls=stage_walls,
         merged_nodes=int(merged.nodes.shape[0]),
         max_tree_depth=depth,
         n_chunks=4,
-        tau_sweep=sweep)
-    with open(os.path.join(ROOT, "PIPELINE_r03.json"), "w") as f:
+        tau_sweep_ring_heldout=sweep,
+        tau0_minus_tau15_db=round(spread, 2),
+        tau_sweep_global_orbit=sweep_g)
+    with open(os.path.join(ROOT, "PIPELINE_r04.json"), "w") as f:
         json.dump(rec, f, indent=1)
     print("TPU PIPELINE SCALE OK", flush=True)
 
