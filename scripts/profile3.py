@@ -159,6 +159,33 @@ def main():
     ms, _ = timeit(greduce, egr, ab)
     print(f"grad reduce: {ms:7.2f} ms", flush=True)
 
+    # ---- round-4 compact (unaligned) layout A/B ------------------------
+    from hlod_gaussians_tpu.ops.binning import bin_gaussians_compact
+
+    @jax.jit
+    def bin_compact(proj):
+        return bin_gaussians_compact(
+            proj.xy, proj.depth, proj.radius, proj.valid, width, height,
+            TW, TH, MD, ext=proj.ext, reff2=proj.reff2)
+
+    ms, cb = timeit(bin_compact, proj)
+    print(f"bin_gaussians_compact: {ms:7.2f} ms  cap={cb.entry_gid.shape[0]}",
+          flush=True)
+
+    ms, centry = timeit(egather, proj, color, cb)
+    print(f"entry gather (compact): {ms:7.2f} ms", flush=True)
+
+    ms, cfout = timeit(fwd, centry, cb.tile_starts, cb.tile_counts)
+    cimg4_t, cft_t, cnc_t, _ = cfout
+    print(f"fwd kernel (compact): {ms:7.2f} ms", flush=True)
+
+    ms, cegr = timeit(bwd, centry, cb.tile_starts, cb.tile_counts,
+                      cft_t, cnc_t, g4, gft)
+    print(f"bwd kernel (compact): {ms:7.2f} ms", flush=True)
+
+    ms, _ = timeit(greduce, cegr, cb)
+    print(f"grad reduce (compact): {ms:7.2f} ms", flush=True)
+
     # full step through the public API (same as bench.py)
     gt = jnp.zeros((3, height, width), jnp.float32)
     n = p["xyz"].shape[0]
