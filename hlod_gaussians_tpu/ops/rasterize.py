@@ -35,7 +35,7 @@ import numpy as np
 
 from hlod_gaussians_tpu.ops import rasterize_pallas as rp
 from hlod_gaussians_tpu.ops.binning import (AlignedBins,
-                                            bin_gaussians_compact, tile_grid)
+                                            bin_gaussians_aligned, tile_grid)
 from hlod_gaussians_tpu.ops.rasterize_xla import RenderOut
 
 
@@ -217,10 +217,15 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
                           want_seen: bool = False,
                           tpb: int = 4,
                           interpret: bool = False) -> RenderOut:
-    """bin + blend in one call (binning is not differentiated)."""
-    abins = bin_gaussians_compact(
+    """bin + align + blend in one call (binning is not differentiated).
+
+    ALIGNED layout on purpose: the compact layout was measured SLOWER
+    end-to-end (+4.3 ms at bench shapes — the ~0.5 extra boundary chunk
+    walked per tile costs fwd +2.1 / bwd +3.6 ms against binning -1.1,
+    gather -0.35; scripts/profile3.py round-4 A/B)."""
+    abins = bin_gaussians_aligned(
         jax.lax.stop_gradient(xy), jax.lax.stop_gradient(depth), radius,
-        valid, width, height, tile_w, tile_h, max_dup,
+        valid, width, height, tile_w, tile_h, max_dup, rp.CHUNK,
         ext=None if ext is None else jax.lax.stop_gradient(ext),
         reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
     return rasterize_tiles(abins, xy, conic, opacity, color, invdepth_g, bg,

@@ -8,25 +8,31 @@ instead of translated:
 * The CUDA kernel is a scalar front-to-back loop per pixel thread. Here each
   tile's entry list is processed in chunks of 128 as a dense
   ``[entries(sublanes) x pixels(lanes)]`` matrix, and the *sequential* alpha
-  compositing becomes closed-form **log-space cumulative products** computed
-  with triangular-ones matmuls on the MXU:
+  compositing becomes a closed-form **cumulative product** computed by a
+  log-depth multiplicative scan on the VPU (``linear=True``, the default):
 
       T_before(k) = T_in * prod_{j<k}(1 - a_j)
-                  = T_in * exp( tril_strict @ log(1 - a) )
 
-  Pixel color is then one weighted accumulation
-  ``acc += sum_k w_k * c_k`` — another matmul. No per-entry scalar
-  extraction, no serial dependency chains on the VPU.
+  The log-space variant (``linear=False``: ``exp(scan-or-tril-matmul of
+  log1p(-a))``) is retained for A/B; linear drops the log1p/exp round
+  trips (~6 VPU ops/entry-pixel fwd, ~3 bwd). Pixel color is one weighted
+  accumulation ``acc += sum_k w_k * c_k`` — an MXU matmul. No per-entry
+  scalar extraction, no serial dependency chains on the VPU.
 * Early-stop semantics match the CUDA kernel exactly: an entry is applied
   iff the inclusive product stays >= t_eps; the first entry that would cross
   the threshold is dropped and the pixel is saturated from then on
   (monotonicity of T makes the masked closed form equal to the sticky
-  `done` flag of the serial loop, forward.cu:561-566).
-* Binning stays XLA (ops/binning.py) with tile ranges CHUNK-aligned
-  (`align_bins`) so each tile's gradient writes land in an exclusive
-  [start, start+padded_count) slice — no atomics, unlike the CUDA backward.
-  (Compact unaligned ranges are impossible: Mosaic requires minor-axis DMA
-  offsets divisible by the 128-lane tiling.)
+  `done` flag of the serial loop, forward.cu:561-566). The linear chain
+  product may underflow to exact 0 after saturation — every comparison
+  stays correct there. The backward's reconstruction products run over
+  APPLIED factors only, which keep T >= t_eps, so they cannot underflow.
+* Binning stays XLA (ops/binning.py). Both layouts are supported: the
+  packed compact layout (bin_gaussians_compact — tiles walk a
+  floor-aligned DMA window; the one boundary chunk shared with the
+  previous tile is read-modify-written, legal because grid programs run
+  sequentially and each tile drains its DMAs) and the CHUNK-aligned
+  layout (align_bins / bin_gaussians_aligned — exclusive per-tile slices,
+  ofs == 0 everywhere). No atomics either way, unlike the CUDA backward.
 * Per-entry inputs are pre-gathered by XLA into ``entry_data
   [16, cap]`` (x, y, -cxx/2, -cxy, -cyy/2, opacity, r, g, b, invdepth,
   t_lod, inv_kids, pad...) — the conic rows carry the PRE-SCALED quadratic
@@ -172,6 +178,25 @@ def _scan_ex(x):
     return y
 
 
+def _shift_down_ones(x, s: int):
+    return jnp.concatenate(
+        [jnp.ones((s, x.shape[1]), x.dtype), x[:-s]], axis=0)
+
+
+def _scan_ex_prod(x):
+    """Exclusive prefix PRODUCT over sublanes (Hillis-Steele with multiplies,
+    identity fill = 1). The linear-space transmittance formulation: the
+    serial T recurrence is a cumulative product directly, skipping the
+    log1p/exp round trips of the log-space form (~6 VPU ops per
+    entry-pixel in forward, ~3 in backward) at equal scan cost."""
+    y = _shift_down_ones(x, 1)
+    s = 1
+    while s < CHUNK:
+        y = y * _shift_down_ones(y, s)
+        s *= 2
+    return y
+
+
 def _scan_suf(x):
     """Strict suffix sum over sublanes (== ``usq_strict @ x``), VPU scan."""
     y = _shift_up(x, 1)
@@ -252,7 +277,8 @@ def _forward_kernel(starts_ref, counts_ref,
                     seen_rmw_vmem, seen_rmw_sem,
                     *, tpb: int, gw: int, tile_h: int, tile_w: int,
                     width: int, height: int, t_eps: float, alpha_min: float,
-                    use_lod: bool, want_seen: bool, scan_impl: bool):
+                    use_lod: bool, want_seen: bool, scan_impl: bool,
+                    linear: bool):
     # `tpb` tiles are processed per grid program: Pallas TPU grid steps run
     # sequentially with a ~2-4us fixed cost each (block DMAs + bookkeeping);
     # batching tiles amortizes that overhead across the whole 1080p grid.
@@ -267,7 +293,8 @@ def _forward_kernel(starts_ref, counts_ref,
                       gw=gw, tile_h=tile_h,
                       tile_w=tile_w, width=width, height=height, t_eps=t_eps,
                       alpha_min=alpha_min, use_lod=use_lod,
-                      want_seen=want_seen, scan_impl=scan_impl)
+                      want_seen=want_seen, scan_impl=scan_impl,
+                      linear=linear)
         return _
 
     jax.lax.fori_loop(0, tpb, one_tile, 0)
@@ -278,7 +305,8 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
                   seen_rmw_vmem, seen_rmw_sem,
                   *, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float, alpha_min: float,
-                  use_lod: bool, want_seen: bool, scan_impl: bool):
+                  use_lod: bool, want_seen: bool, scan_impl: bool,
+                  linear: bool):
     start = starts_ref[t]
     count = counts_ref[t]
     pix = tile_h * tile_w
@@ -354,35 +382,60 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
                 seen_dma(slot, c - 2).wait()
 
         # float-masked saturation vote (bool-select lowering is unsupported)
-        saturated = jnp.max(
-            jnp.where(inside, logT_chain, _LOG_EPS)) < jnp.log(t_eps)
+        if linear:
+            saturated = jnp.max(jnp.where(inside, logT_chain, 0.0)) < t_eps
+        else:
+            saturated = jnp.max(
+                jnp.where(inside, logT_chain, _LOG_EPS)) < jnp.log(t_eps)
 
         def process(args):
+            # in linear mode the two carries hold T / T_chain directly
+            # (not their logs); names kept to share the surrounding plumbing
             logT, logT_chain, acc4, n_contrib = args
             chunk = jnp.transpose(chunk_vmem[slot])   # [CHUNK, 16]
             alpha, pre, aux = _chunk_alpha(
                 chunk, pxf, pyf, count, c * CHUNK - ofs,
                 alpha_min=alpha_min, use_lod=use_lod, inside=inside)
 
-            lg = jnp.log1p(-alpha)                          # 0 where masked
-            # exclusive prefix: VPU scan keeps the contended MXU free
-            cum_ex = _scan_ex(lg) if scan_impl else _mm_mask(tril, lg)
-            log_before = logT_chain + cum_ex                # [CHUNK, pix]
-            log_incl = log_before + lg
-            # applied iff the inclusive CHAIN product stays above t_eps
-            # (pre => alpha >= alpha_min > 0)
-            apply = pre & (log_incl >= jnp.log(t_eps))
+            if linear:
+                # linear-space transmittance: the serial recurrence is a
+                # cumulative PRODUCT computed by one multiplicative scan —
+                # no log1p/exp round trips. The chain may underflow to
+                # exact 0 after saturation; every comparison below is
+                # still correct there (0 < t_eps).
+                one_m = 1.0 - alpha                         # 1 where masked
+                cum_ex = _scan_ex_prod(one_m)
+                t_before = logT_chain * cum_ex              # [CHUNK, pix]
+                t_incl = t_before * one_m
+                # applied iff the inclusive CHAIN product stays above t_eps
+                apply = pre & (t_incl >= t_eps)
+                w = jnp.where(apply, alpha * t_before, 0.0)
+            else:
+                lg = jnp.log1p(-alpha)                      # 0 where masked
+                # exclusive prefix: VPU scan keeps the contended MXU free
+                cum_ex = _scan_ex(lg) if scan_impl else _mm_mask(tril, lg)
+                log_before = logT_chain + cum_ex            # [CHUNK, pix]
+                log_incl = log_before + lg
+                # applied iff the inclusive CHAIN product stays above t_eps
+                # (pre => alpha >= alpha_min > 0)
+                apply = pre & (log_incl >= jnp.log(t_eps))
+                w = jnp.where(apply, alpha * jnp.exp(log_before), 0.0)
 
-            w = jnp.where(apply, alpha * jnp.exp(log_before), 0.0)
             # all 4 channel accumulations in ONE [4, CHUNK] @ [CHUNK, pix]
             # matmul; the [4, CHUNK] color rows come straight from the
             # untransposed DMA buffer
             c4 = chunk_vmem[slot][_ER:_EID + 1]             # [4, CHUNK]
             acc4 += _mm_split22(c4, w)
 
-            lg_applied = jnp.where(apply, lg, 0.0)
-            logT = logT + jnp.sum(lg_applied, axis=0, keepdims=True)
-            logT_chain = logT_chain + jnp.sum(lg, axis=0, keepdims=True)
+            if linear:
+                fac_applied = jnp.where(apply, one_m, 1.0)
+                logT = logT * jnp.prod(fac_applied, axis=0, keepdims=True)
+                logT_chain = logT_chain * jnp.prod(one_m, axis=0,
+                                                   keepdims=True)
+            else:
+                lg_applied = jnp.where(apply, lg, 0.0)
+                logT = logT + jnp.sum(lg_applied, axis=0, keepdims=True)
+                logT_chain = logT_chain + jnp.sum(lg, axis=0, keepdims=True)
 
             kk = aux["k"] + 1
             n_contrib = jnp.maximum(
@@ -412,8 +465,9 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
             seen_dma(slot, c).start()
         return out
 
-    pix_z = jnp.zeros((1, pix), jnp.float32)
-    init = (pix_z, pix_z, jnp.zeros((4, pix), jnp.float32),
+    pix_i = (jnp.ones((1, pix), jnp.float32) if linear
+             else jnp.zeros((1, pix), jnp.float32))
+    init = (pix_i, pix_i, jnp.zeros((4, pix), jnp.float32),
             jnp.zeros((1, pix), jnp.int32))
     logT, logT_chain, acc4, n_contrib = jax.lax.fori_loop(
         0, n_chunks, body, init)
@@ -428,7 +482,7 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
             seen_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
 
     img_ref[j] = acc4
-    ft_ref[j] = jnp.exp(logT)
+    ft_ref[j] = logT if linear else jnp.exp(logT)
     nc_ref[j] = n_contrib
 
 
@@ -447,13 +501,13 @@ def _pad_tiles(tile_starts, tile_counts, num_tiles: int, tpb: int):
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
                      "t_eps", "alpha_min", "use_lod", "want_seen", "tpb",
-                     "scan_impl", "interpret"))
+                     "scan_impl", "linear", "interpret"))
 def blend_forward(entry_data, tile_starts, tile_counts, *,
                   num_tiles: int, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float = 1e-4,
                   alpha_min: float = 1.0 / 255.0,
                   use_lod: bool = False, want_seen: bool = False,
-                  tpb: int = 4, scan_impl: bool = True,
+                  tpb: int = 4, scan_impl: bool = True, linear: bool = True,
                   interpret: bool = False):
     """entry_data [16, cap] (CHUNK-aligned tile ranges) ->
     (img4 [T, 4, pix], final_t [T, 1, pix], n_contrib [T, 1, pix][, seen_e])."""
@@ -465,7 +519,8 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
     kernel = functools.partial(
         _forward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
         width=width, height=height, t_eps=t_eps, alpha_min=alpha_min,
-        use_lod=use_lod, want_seen=want_seen, scan_impl=scan_impl)
+        use_lod=use_lod, want_seen=want_seen, scan_impl=scan_impl,
+        linear=linear)
 
     out_specs = [
         pl.BlockSpec((tpb, 4, pix), lambda i, *_: (i, 0, 0),
@@ -536,7 +591,7 @@ def _backward_kernel(starts_ref, counts_ref,
                      rmw_vmem, rmw_sem,
                      *, tpb: int, gw: int, tile_h: int, tile_w: int,
                      width: int, height: int, alpha_min: float,
-                     use_lod: bool, scan_impl: bool):
+                     use_lod: bool, scan_impl: bool, linear: bool):
     # See _forward_kernel: tpb tiles per grid program amortize the fixed
     # per-program cost over the ~2k-tile 1080p grid.
     base = pl.program_id(0) * tpb
@@ -548,7 +603,7 @@ def _backward_kernel(starts_ref, counts_ref,
                        rmw_vmem, rmw_sem,
                        gw=gw, tile_h=tile_h, tile_w=tile_w, width=width,
                        height=height, alpha_min=alpha_min, use_lod=use_lod,
-                       scan_impl=scan_impl)
+                       scan_impl=scan_impl, linear=linear)
         return _
 
     jax.lax.fori_loop(0, tpb, one_tile, 0)
@@ -562,7 +617,7 @@ def _backward_tile(t, j, starts_ref, counts_ref,
                    rmw_vmem, rmw_sem,
                    *, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float, use_lod: bool,
-                   scan_impl: bool):
+                   scan_impl: bool, linear: bool):
     start = starts_ref[t]
     count = counts_ref[t]
     pix = tile_h * tile_w
@@ -658,18 +713,32 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 
         applied = pre & (aux["k"] + 1 <= n_contrib)
         a = jnp.where(applied, alpha, 0.0)
-        lg = jnp.log1p(-a)
-
-        chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
-        logT_start = logT_end - chunk_sum
-        # T_start factored OUT of the per-entry exponent: t_before =
-        # T_start * exp(cum_ex). Everything heavy (exp, the triangular
-        # matmuls) becomes independent of the loop carry — the carry only
-        # enters through [1, pix]-row multiplies — which shortens the
-        # serial dependency chain between chunk iterations.
-        cum_ex = _scan_ex(lg) if scan_impl else _mm_mask(tril, lg)
-        t_rel = jnp.exp(cum_ex)                               # [CHUNK, pix]
-        t_start = jnp.exp(logT_start)                         # [1, pix]
+        if linear:
+            # linear-space reconstruction: per-pixel products of APPLIED
+            # factors cannot underflow (the applied set keeps T >= t_eps,
+            # so each chunk's product is >= ~t_eps); division replaces the
+            # log1p/exp round trips
+            one_m = 1.0 - a
+            chunk_prod = jnp.prod(one_m, axis=0, keepdims=True)
+            logT_start = logT_end / jnp.maximum(chunk_prod, 1e-30)
+            t_rel = _scan_ex_prod(one_m)                      # [CHUNK, pix]
+            t_start = logT_start                              # [1, pix]
+            rcp = 1.0 / one_m
+        else:
+            lg = jnp.log1p(-a)
+            chunk_sum = jnp.sum(lg, axis=0, keepdims=True)
+            logT_start = logT_end - chunk_sum
+            # T_start factored OUT of the per-entry exponent: t_before =
+            # T_start * exp(cum_ex). Everything heavy (exp, the triangular
+            # matmuls) becomes independent of the loop carry — the carry
+            # only enters through [1, pix]-row multiplies — which shortens
+            # the serial dependency chain between chunk iterations.
+            cum_ex = _scan_ex(lg) if scan_impl else _mm_mask(tril, lg)
+            t_rel = jnp.exp(cum_ex)                           # [CHUNK, pix]
+            t_start = jnp.exp(logT_start)                     # [1, pix]
+            # 1/(1-a) = exp(-log1p(-a)): the hw exp is ~3 VPU passes
+            # cheaper than an f32 divide, and lg is already in registers
+            rcp = jnp.exp(-lg)
         contrib0 = a * t_rel
         contrib = contrib0 * t_start
 
@@ -698,10 +767,8 @@ def _backward_tile(t, j, starts_ref, counts_ref,
         suf0 = _scan_suf(pcg0) if scan_impl else _mm_mask(usq, pcg0)
         suf_comb = suf0 * t_start + s_comb
 
-        # 1/(1-a) = exp(-log1p(-a)): the hw exp is ~3 VPU passes cheaper
-        # than an f32 divide, and lg is already in registers; dT*final_t is
-        # loop-invariant (hoisted to dTf outside the chunk walk)
-        dal = cdotg * (t_rel * t_start) - (suf_comb + dTf) * jnp.exp(-lg)
+        # dT*final_t is loop-invariant (hoisted to dTf outside the walk)
+        dal = cdotg * (t_rel * t_start) - (suf_comb + dTf) * rcp
         dal = jnp.where(applied, dal, 0.0)
 
         dmy = dal * aux["dalpha_dmy"] if use_lod else dal
@@ -760,7 +827,7 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 
     z = jnp.zeros((1, pix), jnp.float32)
     safe_ft = jnp.maximum(final_t, 1e-30)
-    init = (jnp.log(safe_ft), z)
+    init = (safe_ft if linear else jnp.log(safe_ft), z)
     jax.lax.fori_loop(0, n_act, body, init)
 
     # drain all outstanding write DMAs before the next program may overwrite
@@ -784,13 +851,14 @@ def _backward_tile(t, j, starts_ref, counts_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
-                     "alpha_min", "use_lod", "tpb", "scan_impl", "interpret"))
+                     "alpha_min", "use_lod", "tpb", "scan_impl", "linear",
+                     "interpret"))
 def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
                    g_img4, g_final_t, *,
                    num_tiles: int, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float = 1.0 / 255.0,
                    use_lod: bool = False, tpb: int = 4,
-                   scan_impl: bool = True,
+                   scan_impl: bool = True, linear: bool = True,
                    interpret: bool = False):
     """Hand-derived backward -> per-entry gradients [16, cap]."""
     pix = tile_h * tile_w
@@ -807,7 +875,7 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
     kernel = functools.partial(
         _backward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
         width=width, height=height, alpha_min=alpha_min, use_lod=use_lod,
-        scan_impl=scan_impl)
+        scan_impl=scan_impl, linear=linear)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -78,12 +78,13 @@ def render_tile_parallel(
         valid_b = proj.valid & in_band
 
         if cfg.backend == "pallas":
-            from hlod_gaussians_tpu.ops.binning import bin_gaussians_compact
+            from hlod_gaussians_tpu.ops import rasterize_pallas as rp
             from hlod_gaussians_tpu.ops.rasterize import rasterize_tiles
-            abins = bin_gaussians_compact(
+            abins = bin_gaussians_aligned(
                 jax.lax.stop_gradient(xy_local),
                 jax.lax.stop_gradient(proj.depth), proj.radius, valid_b,
-                width, band_h, cfg.tile_w, cfg.tile_h, cfg.max_dup // n_dev)
+                width, band_h, cfg.tile_w, cfg.tile_h, cfg.max_dup // n_dev,
+                rp.CHUNK)
             out = rasterize_tiles(
                 abins, xy_local, proj.conic, proj.opacity, color,
                 1.0 / jnp.maximum(proj.depth, 1e-6), bg,

@@ -98,12 +98,15 @@ def render_arrays(
     tight = cfg.backend == "pallas" and cfg.tight_binning
     invdepth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
     if cfg.backend == "pallas":
-        from hlod_gaussians_tpu.ops.binning import bin_gaussians_compact
+        # aligned layout: the compact (unaligned) layout measured slower
+        # end-to-end (+4.3 ms at bench shapes; scripts/profile3.py r04 A/B)
+        from hlod_gaussians_tpu.ops.binning import bin_gaussians_aligned
         from hlod_gaussians_tpu.ops import rasterize as rast
-        abins = bin_gaussians_compact(
+        from hlod_gaussians_tpu.ops import rasterize_pallas as rp
+        abins = bin_gaussians_aligned(
             jax.lax.stop_gradient(xy), jax.lax.stop_gradient(proj.depth),
             proj.radius, proj.valid,
-            width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup,
+            width, height, cfg.tile_w, cfg.tile_h, cfg.max_dup, rp.CHUNK,
             ext=jax.lax.stop_gradient(proj.ext) if tight else None,
             reff2=jax.lax.stop_gradient(proj.reff2) if tight else None,
             need_grads=not cfg.inference)
