@@ -428,10 +428,19 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
             acc4 += _mm_split22(c4, w)
 
             if linear:
-                fac_applied = jnp.where(apply, one_m, 1.0)
-                logT = logT * jnp.prod(fac_applied, axis=0, keepdims=True)
-                logT_chain = logT_chain * jnp.prod(one_m, axis=0,
-                                                   keepdims=True)
+                # Mosaic has no reduce_prod lowering; both chunk totals
+                # fall out of monotonicity instead: inclusive products are
+                # non-increasing along rows, so the chunk-end value is the
+                # row MINIMUM (reduce via the proven max lowering).
+                # t_incl already carries T_chain, so these are absolute.
+                logT_chain = -jnp.max(-t_incl, axis=0, keepdims=True)
+                # applied-only T: the last applied entry's inclusive value
+                # (equal to the applied chain up to the sticky crossing);
+                # no applied entries => +BIG => T unchanged
+                logT = jnp.minimum(
+                    logT,
+                    -jnp.max(jnp.where(apply, -t_incl, -3.0e38),
+                             axis=0, keepdims=True))
             else:
                 lg_applied = jnp.where(apply, lg, 0.0)
                 logT = logT + jnp.sum(lg_applied, axis=0, keepdims=True)
@@ -719,9 +728,11 @@ def _backward_tile(t, j, starts_ref, counts_ref,
             # so each chunk's product is >= ~t_eps); division replaces the
             # log1p/exp round trips
             one_m = 1.0 - a
-            chunk_prod = jnp.prod(one_m, axis=0, keepdims=True)
-            logT_start = logT_end / jnp.maximum(chunk_prod, 1e-30)
             t_rel = _scan_ex_prod(one_m)                      # [CHUNK, pix]
+            # chunk product = min of the (monotone non-increasing)
+            # inclusive products — Mosaic has no reduce_prod lowering
+            chunk_prod = -jnp.max(-(t_rel * one_m), axis=0, keepdims=True)
+            logT_start = logT_end / jnp.maximum(chunk_prod, 1e-30)
             t_start = logT_start                              # [1, pix]
             rcp = 1.0 / one_m
         else:
