@@ -14,12 +14,12 @@ instead of translated:
       T_before(k) = T_in * prod_{j<k}(1 - a_j)
 
   The log-space variant (``linear=False``: ``exp(scan-or-tril-matmul of
-  log1p(-a))``) is retained for A/B. Measured on v5e: linear wins the
-  FORWARD (10.93 -> 10.48 ms, the log1p/exp round trips go away) but
-  LOSES the backward (17.13 -> 18.65 ms: the f32 divide it reintroduces
-  for 1/(1-a) costs more than the exp(-log1p) it replaces, plus the extra
-  inclusive-product min-reduce) — so the defaults are forward linear,
-  backward log-space. Pixel color is one weighted
+  log1p(-a))``) is retained for A/B. Measured on v5e: ISOLATED kernel
+  timings disagree with the full training step — bwd-linear loses in
+  isolation (17.13 -> 18.65 ms, the f32 divide) but the FULL fused step
+  wins by ~3 ms (44.7-45.2 -> 41.9 ms; XLA overlaps the extra VPU work
+  where the isolated program cannot). Decisions here go by the full
+  step: both kernels default to linear. Pixel color is one weighted
   accumulation ``acc += sum_k w_k * c_k`` — an MXU matmul. No per-entry
   scalar extraction, no serial dependency chains on the VPU.
 * Early-stop semantics match the CUDA kernel exactly: an entry is applied
@@ -873,7 +873,7 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
                    num_tiles: int, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float = 1.0 / 255.0,
                    use_lod: bool = False, tpb: int = 4,
-                   scan_impl: bool = True, linear: bool = False,
+                   scan_impl: bool = True, linear: bool = True,
                    interpret: bool = False):
     """Hand-derived backward -> per-entry gradients [16, cap]."""
     pix = tile_h * tile_w
