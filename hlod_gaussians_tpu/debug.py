@@ -61,6 +61,59 @@ def false_color_by_subtree(state: GaussianState, roots: Sequence[int]
     return cols
 
 
+def path_to_root(state: GaussianState, node: int) -> np.ndarray:
+    """Positions along the ancestor chain of `node` up to the root
+    (reference debug_utils.plot_path_to_root:68-88, minus the matplotlib
+    shell — callers plot the returned [K,3] polyline)."""
+    nodes = np.asarray(state.nodes)
+    xyz = np.asarray(state.xyz)
+    pts = []
+    n = int(node)
+    seen = set()
+    while n >= 0 and n not in seen:
+        seen.add(n)
+        pts.append(xyz[n])
+        n = int(nodes[n, gm.NODE_PARENT])
+    return np.asarray(pts, np.float32)
+
+
+def render_level_slices(state: GaussianState, camera,
+                        *, cfg: RasterizerConfig = RasterizerConfig(),
+                        k_max: int = 512, bg=(0.0, 0.0, 0.0),
+                        max_levels: int = 64):
+    """Bottom-up per-level renders: start from the leaves, then render the
+    set of parents, grandparents, ... up to the root (reference
+    debug_utils.render_level_slices:286-314, which walks
+    ``nodes[indices, 1].unique()`` per level). Returns a list of
+    (image [3,H,W] np, n_rendered) from finest to coarsest."""
+    nodes = np.asarray(state.nodes)
+    c = nodes.shape[0]
+    parent = nodes[:, gm.NODE_PARENT]
+    alive = np.asarray(state.alive)
+    indices = np.where(alive & (nodes[:, gm.NODE_CHILD_COUNT] == 0)
+                       & (nodes[:, gm.NODE_DEPTH] >= 0))[0]
+    out = []
+    for _ in range(max_levels):
+        if len(indices) == 0:
+            break
+        mask = np.zeros(c, bool)
+        mask[indices] = True
+        act = gm.activate(state, jnp.asarray(mask))
+        res = render_mod.render_arrays(
+            act.means3d, act.scales, act.quats, act.opacities, act.shs,
+            act.valid, camera.world_view, camera.full_proj, camera.campos,
+            camera.tan_fovx, camera.tan_fovy,
+            jnp.asarray(np.asarray(bg, np.float32)),
+            sh_degree=state.sh_degree, width=camera.width,
+            height=camera.height, cfg=cfg, k_max=k_max)
+        out.append((np.asarray(jnp.clip(res.image, 0, 1)), len(indices)))
+        nxt = np.unique(parent[indices])
+        indices = nxt[nxt >= 0]
+        if len(indices) <= 1 and len(out) > 1:
+            break
+    return out
+
+
 def gaussians_per_limit(state: GaussianState, campos, zdir,
                         limits: Sequence[float]) -> List[int]:
     """Cut sizes per granularity limit (reference

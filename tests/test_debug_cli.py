@@ -89,3 +89,33 @@ def test_cli_create_hierarchy(tmp_path):
     cli.main(["create-hierarchy", inp, outp])
     d = dhier_io.load_dhier(outp)
     assert d.nodes.shape[0] == 2 * n - 1
+
+
+def test_path_to_root_and_level_slices():
+    """Round-4: the two reference diagnostics debug.py lacked
+    (debug_utils.plot_path_to_root:68-88, render_level_slices:286-314)."""
+    st, m = hier_state(n=33, cap=128)
+    nodes = np.asarray(st.nodes)
+    leaf = int(np.where((nodes[:, NODE_CHILD_COUNT] == 0)
+                        & np.asarray(st.alive))[0][0])
+    path = debug_mod.path_to_root(st, leaf)
+    assert path.shape[0] >= 2 and path.shape[1] == 3
+    # the chain must end at the root
+    n = leaf
+    hops = 0
+    while nodes[n, NODE_PARENT] >= 0:
+        n = int(nodes[n, NODE_PARENT])
+        hops += 1
+    assert path.shape[0] == hops + 1
+
+    cam = make_camera(np.eye(3), np.zeros(3), 0.8, 0.8, 64, 64)
+    slices = debug_mod.render_level_slices(st, cam, cfg=CFG, k_max=128)
+    assert len(slices) >= 2
+    counts = [n for _, n in slices]
+    # finest level = all leaves; strictly coarser going up
+    n_leaves = int(((nodes[:, NODE_CHILD_COUNT] == 0)
+                    & np.asarray(st.alive)).sum())
+    assert counts[0] == n_leaves
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    for img, _ in slices:
+        assert np.isfinite(img).all() and img.max() > 0.0
