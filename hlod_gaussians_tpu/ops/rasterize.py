@@ -42,12 +42,13 @@ from hlod_gaussians_tpu.ops.rasterize_xla import RenderOut
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _blend(cfg, entry_data, tile_starts, tile_counts):
     (num_tiles, gw, tile_h, tile_w, width, height, t_eps, alpha_min,
-     use_lod, want_seen, tpb, interpret) = cfg
+     use_lod, want_seen, tpb, interleave, interpret) = cfg
     return rp.blend_forward(
         entry_data, tile_starts, tile_counts, num_tiles=num_tiles, gw=gw,
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
         t_eps=t_eps, alpha_min=alpha_min, use_lod=use_lod,
-        want_seen=want_seen, tpb=tpb, interpret=interpret)
+        want_seen=want_seen, tpb=tpb, interleave=interleave,
+        interpret=interpret)
 
 
 def _blend_fwd(cfg, entry_data, tile_starts, tile_counts):
@@ -58,14 +59,15 @@ def _blend_fwd(cfg, entry_data, tile_starts, tile_counts):
 
 def _blend_bwd(cfg, res, g):
     (num_tiles, gw, tile_h, tile_w, width, height, t_eps, alpha_min,
-     use_lod, want_seen, tpb, interpret) = cfg
+     use_lod, want_seen, tpb, interleave, interpret) = cfg
     entry_data, tile_starts, tile_counts, final_t, n_contrib = res
     g_img4, g_final_t, _g_nc, _g_seen = g
     egrads = rp.blend_backward(
         entry_data, tile_starts, tile_counts, final_t, n_contrib,
         g_img4, g_final_t, num_tiles=num_tiles, gw=gw, tile_h=tile_h,
         tile_w=tile_w, width=width, height=height, alpha_min=alpha_min,
-        use_lod=use_lod, tpb=tpb, interpret=interpret)
+        use_lod=use_lod, tpb=tpb, interleave=interleave,
+        interpret=interpret)
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return egrads, zero_i(tile_starts), zero_i(tile_counts)
 
@@ -125,7 +127,8 @@ _expand.defvjp(_expand_fwd, _expand_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_w", "tile_h", "t_eps",
-                     "alpha_min", "want_seen", "tpb", "interpret"))
+                     "alpha_min", "want_seen", "tpb", "interleave",
+                     "interpret"))
 def rasterize_tiles(
     abins: AlignedBins,
     xy: jnp.ndarray,          # [N,2]
@@ -141,6 +144,7 @@ def rasterize_tiles(
     t_eps: float = 1e-4, alpha_min: float = 1.0 / 255.0,
     want_seen: bool = False,
     tpb: int = 4,
+    interleave: bool = True,
     interpret: bool = False,
 ) -> RenderOut:
     """Pallas twin of rasterize_scan (same RenderOut contract). With
@@ -172,7 +176,7 @@ def rasterize_tiles(
     entry_data = _expand(feats, abins)
 
     cfg = (num_tiles, gw, tile_h, tile_w, width, height, float(t_eps),
-           float(alpha_min), use_lod, want_seen, tpb, interpret)
+           float(alpha_min), use_lod, want_seen, tpb, interleave, interpret)
     img4_t, final_t_t, n_contrib_t, seen_e = _blend(
         cfg, entry_data, abins.tile_starts, abins.tile_counts)
 
@@ -216,20 +220,33 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
                           ext=None, reff2=None,
                           want_seen: bool = False,
                           tpb: int = 4,
+                          layout: str = "aligned",
                           interpret: bool = False) -> RenderOut:
     """bin + align + blend in one call (binning is not differentiated).
 
-    ALIGNED layout on purpose: the compact layout was measured SLOWER
+    ALIGNED layout by default: the compact layout was measured SLOWER
     end-to-end (+4.3 ms at bench shapes — the ~0.5 extra boundary chunk
     walked per tile costs fwd +2.1 / bwd +3.6 ms against binning -1.1,
-    gather -0.35; scripts/profile3.py round-4 A/B)."""
-    abins = bin_gaussians_aligned(
-        jax.lax.stop_gradient(xy), jax.lax.stop_gradient(depth), radius,
-        valid, width, height, tile_w, tile_h, max_dup, rp.CHUNK,
-        ext=None if ext is None else jax.lax.stop_gradient(ext),
-        reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
+    gather -0.35; scripts/profile3.py round-4 A/B). layout="compact"
+    keeps the packed path exercised; it forces the SEQUENTIAL kernels
+    (the boundary read-modify-write needs the predecessor tile complete,
+    which tile interleaving breaks)."""
+    if layout == "compact":
+        from hlod_gaussians_tpu.ops.binning import bin_gaussians_compact
+        abins = bin_gaussians_compact(
+            jax.lax.stop_gradient(xy), jax.lax.stop_gradient(depth), radius,
+            valid, width, height, tile_w, tile_h, max_dup,
+            ext=None if ext is None else jax.lax.stop_gradient(ext),
+            reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
+    else:
+        abins = bin_gaussians_aligned(
+            jax.lax.stop_gradient(xy), jax.lax.stop_gradient(depth), radius,
+            valid, width, height, tile_w, tile_h, max_dup, rp.CHUNK,
+            ext=None if ext is None else jax.lax.stop_gradient(ext),
+            reff2=None if reff2 is None else jax.lax.stop_gradient(reff2))
     return rasterize_tiles(abins, xy, conic, opacity, color, invdepth_g, bg,
                            ts, kids, width=width, height=height,
                            tile_w=tile_w, tile_h=tile_h, t_eps=t_eps,
                            alpha_min=alpha_min, want_seen=want_seen,
-                           tpb=tpb, interpret=interpret)
+                           tpb=tpb, interleave=layout != "compact",
+                           interpret=interpret)

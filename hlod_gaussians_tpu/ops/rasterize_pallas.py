@@ -499,6 +499,188 @@ def _forward_tile(t, j, starts_ref, counts_ref, entries_hbm, img_ref, ft_ref,
     nc_ref[j] = n_contrib
 
 
+def _forward_kernel_il(starts_ref, counts_ref, entries_hbm,
+                       img_ref, ft_ref, nc_ref, seen_hbm,
+                       chunk_vmem, sem, seen_vmem, seen_sem,
+                       seen_rmw_vmem, seen_rmw_sem,
+                       *, tpb: int, gw: int, tile_h: int, tile_w: int,
+                       width: int, height: int, t_eps: float,
+                       alpha_min: float, use_lod: bool, want_seen: bool,
+                       linear: bool):
+    """Tile-INTERLEAVED forward walk (round-4 latency finding).
+
+    The sequential per-tile walk is LATENCY-bound, not throughput-bound:
+    the loop-carried transmittance chain (carry -> t_before -> row-min ->
+    carry) serializes ~9 us per chunk across ~3.7k chunks
+    (scripts/probe_fwd_ablate.py: all-chunk walk with a real carry costs
+    33.8 ms vs ~1 ms of throughput-equivalent math). Here the program's
+    `tpb` tiles advance through the chunk loop IN LOCKSTEP — a static x4
+    unroll with four independent carry chains per iteration — so the
+    machine overlaps dependent ops of different tiles (measured 10.47 ->
+    8.38 ms with bit-identical images, scripts/probe_fwd_interleave.py,
+    before the group saturation skip re-added below). Finished/saturated
+    tiles ride along with `where`-masked carries; a whole-group
+    saturation cond restores the chunk pruning of the sequential path
+    (skipped when want_seen: every walked chunk's flags must land).
+    """
+    base = pl.program_id(0) * tpb
+    pix = tile_h * tile_w
+
+    starts = [starts_ref[base + j] for j in range(tpb)]
+    counts = [counts_ref[base + j] for j in range(tpb)]
+    astarts = [(s // CHUNK) * CHUNK for s in starts]
+    ofss = [s - a for s, a in zip(starts, astarts)]
+    pxy = [_pixel_xy(base + j, gw, tile_h, tile_w, pix) for j in range(tpb)]
+    insides = [(px < width) & (py < height) for px, py in pxy]
+    pxfs = [px.astype(jnp.float32) for px, _ in pxy]
+    pyfs = [py.astype(jnp.float32) for _, py in pxy]
+    ncs = [pl.cdiv(ofss[j] + counts[j], CHUNK) for j in range(tpb)]
+    max_nc = ncs[0]
+    for j in range(1, tpb):
+        max_nc = jnp.maximum(max_nc, ncs[j])
+
+    def dma(j, slot, c):
+        off = pl.multiple_of(astarts[j] + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            entries_hbm.at[:, pl.ds(off, CHUNK)],
+            chunk_vmem.at[j, slot], sem.at[j, slot])
+
+    def seen_dma(j, slot, c):
+        off = pl.multiple_of(astarts[j] + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            seen_vmem.at[j, slot], seen_hbm.at[:, pl.ds(off, CHUNK)],
+            seen_sem.at[j, slot])
+
+    def seen_rmw_dma(j):
+        return pltpu.make_async_copy(
+            seen_hbm.at[:, pl.ds(pl.multiple_of(astarts[j], CHUNK), CHUNK)],
+            seen_rmw_vmem.at[j], seen_rmw_sem.at[j])
+
+    for j in range(tpb):
+        @pl.when(ncs[j] > 0)
+        def _(j=j):
+            dma(j, 0, 0).start()
+        if want_seen:
+            @pl.when((ncs[j] > 0) & (ofss[j] > 0))
+            def _(j=j):
+                seen_rmw_dma(j).start()
+
+    def tile_math(j, c, T, T_chain, acc4, n_contrib):
+        # linear formulation only (see _forward_tile for the commentary);
+        # the log-space path lives in the sequential kernel
+        chunk = jnp.transpose(chunk_vmem[j, c % 2])
+        alpha, pre, aux = _chunk_alpha(
+            chunk, pxfs[j], pyfs[j], counts[j], c * CHUNK - ofss[j],
+            alpha_min=alpha_min, use_lod=use_lod, inside=insides[j])
+        one_m = 1.0 - alpha
+        cum_ex = _scan_ex_prod(one_m)
+        t_before = T_chain * cum_ex
+        t_incl = t_before * one_m
+        apply = pre & (t_incl >= t_eps)
+        w = jnp.where(apply, alpha * t_before, 0.0)
+        c4 = chunk_vmem[j, c % 2][_ER:_EID + 1]
+        acc4 = acc4 + _mm_split22(c4, w)
+        T_chain = -jnp.max(-t_incl, axis=0, keepdims=True)
+        T = jnp.minimum(
+            T, -jnp.max(jnp.where(apply, -t_incl, -3.0e38),
+                        axis=0, keepdims=True))
+        n_contrib = jnp.maximum(
+            n_contrib,
+            jnp.max(jnp.where(apply, aux["k"] + 1, 0), axis=0,
+                    keepdims=True))
+        flag = (jnp.max(jnp.where(apply, 1.0, 0.0), axis=1)
+                if want_seen else None)
+        return T, T_chain, acc4, n_contrib, flag
+
+    def body(c, carry):
+        Ts, Tcs, accs, nconts = carry
+        slot = c % 2
+        for j in range(tpb):
+            @pl.when(c + 1 < ncs[j])
+            def _(j=j):
+                dma(j, (c + 1) % 2, c + 1).start()
+        for j in range(tpb):
+            @pl.when(c < ncs[j])
+            def _(j=j):
+                dma(j, slot, c).wait()
+            if want_seen:
+                @pl.when((c >= 2) & (c - 2 < ncs[j]))
+                def _(j=j):
+                    seen_dma(j, slot, c - 2).wait()
+
+        lives = [
+            (c < ncs[j]) & (jnp.max(
+                jnp.where(insides[j], Tcs[j], 0.0)) >= t_eps)
+            for j in range(tpb)]
+
+        def group(args):
+            Ts, Tcs, accs, nconts = args
+            outs = []
+            flags = []
+            for j in range(tpb):
+                T2, Tc2, a2, n2, flag = tile_math(
+                    j, c, Ts[j], Tcs[j], accs[j], nconts[j])
+                outs.append((jnp.where(lives[j], T2, Ts[j]),
+                             jnp.where(lives[j], Tc2, Tcs[j]),
+                             jnp.where(lives[j], a2, accs[j]),
+                             jnp.where(lives[j], n2, nconts[j])))
+                flags.append(flag)
+            Ts2, Tcs2, accs2, nconts2 = zip(*outs)
+            return (tuple(Ts2), tuple(Tcs2), tuple(accs2),
+                    tuple(nconts2)), flags
+
+        if want_seen:
+            # no group skip: every walked chunk's flags must be written
+            # (dead tiles write zeros, like the sequential skip branch)
+            out, flags = group((Ts, Tcs, accs, nconts))
+            for j in range(tpb):
+                livef = jnp.where(lives[j], 1.0, 0.0)
+                seen_vmem[j, slot, 0] = flags[j] * livef
+
+                @pl.when((c == 0) & (ofss[j] > 0) & (ncs[j] > 0))
+                def _(j=j):
+                    # boundary chunk: merge the previous tile's flags
+                    seen_rmw_dma(j).wait()
+                    seen_vmem[j, slot, 0] = jnp.maximum(
+                        seen_vmem[j, slot, 0], seen_rmw_vmem[j, 0])
+
+                @pl.when(c < ncs[j])
+                def _(j=j):
+                    seen_dma(j, slot, c).start()
+            return out
+
+        any_live = lives[0]
+        for j in range(1, tpb):
+            any_live = any_live | lives[j]
+        return jax.lax.cond(
+            any_live, lambda a: group(a)[0], lambda a: a,
+            (Ts, Tcs, accs, nconts))
+
+    ones = tuple(jnp.ones((1, pix), jnp.float32) for _ in range(tpb))
+    init = (ones, ones,
+            tuple(jnp.zeros((4, pix), jnp.float32) for _ in range(tpb)),
+            tuple(jnp.zeros((1, pix), jnp.int32) for _ in range(tpb)))
+    Ts, Tcs, accs, nconts = jax.lax.fori_loop(0, max_nc, body, init)
+
+    if want_seen:
+        # drain: the in-loop wait at iteration c covers starts <= c-2, so
+        # only starts at max_nc-2 / max_nc-1 (tiles reaching that far) are
+        # still outstanding
+        for j in range(tpb):
+            @pl.when((max_nc >= 2) & (ncs[j] >= max_nc - 1))
+            def _(j=j):
+                seen_dma(j, max_nc % 2, 0).wait()
+
+            @pl.when((ncs[j] > 0) & (ncs[j] >= max_nc))
+            def _(j=j):
+                seen_dma(j, (max_nc - 1) % 2, 0).wait()
+
+    for j in range(tpb):
+        img_ref[j] = accs[j]
+        ft_ref[j] = Ts[j]
+        nc_ref[j] = nconts[j]
+
+
 def _pad_tiles(tile_starts, tile_counts, num_tiles: int, tpb: int):
     """Pad the per-tile range tables to a multiple of tpb (count 0 => the
     padded tiles do no work and write default outputs)."""
@@ -514,13 +696,14 @@ def _pad_tiles(tile_starts, tile_counts, num_tiles: int, tpb: int):
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
                      "t_eps", "alpha_min", "use_lod", "want_seen", "tpb",
-                     "scan_impl", "linear", "interpret"))
+                     "scan_impl", "linear", "interleave", "interpret"))
 def blend_forward(entry_data, tile_starts, tile_counts, *,
                   num_tiles: int, gw: int, tile_h: int, tile_w: int,
                   width: int, height: int, t_eps: float = 1e-4,
                   alpha_min: float = 1.0 / 255.0,
                   use_lod: bool = False, want_seen: bool = False,
                   tpb: int = 4, scan_impl: bool = True, linear: bool = True,
+                  interleave: bool = True,
                   interpret: bool = False):
     """entry_data [16, cap] (CHUNK-aligned tile ranges) ->
     (img4 [T, 4, pix], final_t [T, 1, pix], n_contrib [T, 1, pix][, seen_e])."""
@@ -529,11 +712,19 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
     assert entry_data.shape[1] % CHUNK == 0
     tile_starts, tile_counts, t_pad = _pad_tiles(
         tile_starts, tile_counts, num_tiles, tpb)
-    kernel = functools.partial(
-        _forward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
-        width=width, height=height, t_eps=t_eps, alpha_min=alpha_min,
-        use_lod=use_lod, want_seen=want_seen, scan_impl=scan_impl,
-        linear=linear)
+    use_il = interleave and linear
+    if use_il:
+        kernel = functools.partial(
+            _forward_kernel_il, tpb=tpb, gw=gw, tile_h=tile_h,
+            tile_w=tile_w, width=width, height=height, t_eps=t_eps,
+            alpha_min=alpha_min, use_lod=use_lod, want_seen=want_seen,
+            linear=linear)
+    else:
+        kernel = functools.partial(
+            _forward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
+            width=width, height=height, t_eps=t_eps, alpha_min=alpha_min,
+            use_lod=use_lod, want_seen=want_seen, scan_impl=scan_impl,
+            linear=linear)
 
     out_specs = [
         pl.BlockSpec((tpb, 4, pix), lambda i, *_: (i, 0, 0),
@@ -562,14 +753,21 @@ def blend_forward(entry_data, tile_starts, tile_counts, *,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs[:3]) + ((out_specs[3],)
                                           if want_seen else ()),
-        scratch_shapes=[
+        scratch_shapes=([
+            pltpu.VMEM((tpb, 2, N_ENTRY_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb, 2)),
+            pltpu.VMEM((tpb, 2, 1, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb, 2)),
+            pltpu.VMEM((tpb, 1, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb,)),
+        ] if use_il else [
             pltpu.VMEM((2, N_ENTRY_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 1, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ]),
     )
 
     if want_seen:
@@ -863,17 +1061,189 @@ def _backward_tile(t, j, starts_ref, counts_ref,
     jax.lax.fori_loop(0, n_zero, zwait, 0)
 
 
+def _backward_kernel_il(starts_ref, counts_ref,
+                        entries_hbm,
+                        ft_ref, nc_ref, gimg_ref, gft_ref,
+                        egrad_hbm,
+                        chunk_vmem, sem, grad_vmem, osem, zero_vmem, zsem,
+                        *, tpb: int, gw: int, tile_h: int, tile_w: int,
+                        width: int, height: int, alpha_min: float,
+                        use_lod: bool, linear: bool):
+    """Tile-INTERLEAVED backward walk (see _forward_kernel_il): the
+    program's tpb tiles run their reverse chunk walks in lockstep, each
+    with its own carry chain, hiding the per-chunk serialized latency.
+
+    ALIGNED layouts only: the compact layout's boundary read-modify-write
+    assumes the predecessor tile finished BEFORE this tile starts, which
+    interleaving breaks — compact callers must pass interleave=False.
+    Linear formulation only (the sequential kernel keeps log-space)."""
+    base = pl.program_id(0) * tpb
+    pix = tile_h * tile_w
+
+    starts = [starts_ref[base + j] for j in range(tpb)]
+    counts = [counts_ref[base + j] for j in range(tpb)]
+    pxy = [_pixel_xy(base + j, gw, tile_h, tile_w, pix) for j in range(tpb)]
+    insides = [(px < width) & (py < height) for px, py in pxy]
+    pxfs = [px.astype(jnp.float32) for px, _ in pxy]
+    pyfs = [py.astype(jnp.float32) for _, py in pxy]
+    ncs_all = [pl.cdiv(counts[j], CHUNK) for j in range(tpb)]
+
+    final_ts = [ft_ref[j] for j in range(tpb)]
+    n_contribs = [nc_ref[j] for j in range(tpb)]
+    g4s = [gimg_ref[j] for j in range(tpb)]
+    dTfs = [gft_ref[j] * final_ts[j] for j in range(tpb)]
+
+    n_acts = []
+    for j in range(tpb):
+        mnc = jnp.max(n_contribs[j])
+        n_acts.append(jnp.minimum(
+            jnp.where(mnc > 0, pl.cdiv(mnc, CHUNK), 0), ncs_all[j]))
+    max_act = n_acts[0]
+    for j in range(1, tpb):
+        max_act = jnp.maximum(max_act, n_acts[j])
+
+    def dma_in(j, slot, c):
+        off = pl.multiple_of(starts[j] + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            entries_hbm.at[:, pl.ds(off, CHUNK)],
+            chunk_vmem.at[j, slot], sem.at[j, slot])
+
+    def dma_out(j, slot, c):
+        off = pl.multiple_of(starts[j] + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            grad_vmem.at[j, slot], egrad_hbm.at[:, pl.ds(off, CHUNK)],
+            osem.at[j, slot])
+
+    # zero-fill every tile's inactive tail chunks [n_act, n_chunks)
+    zero_vmem[...] = jnp.zeros((N_GRAD_COLS, CHUNK), jnp.float32)
+    for j in range(tpb):
+        def zfill(z, _, j=j):
+            off = pl.multiple_of(starts[j] + (n_acts[j] + z) * CHUNK, CHUNK)
+            pltpu.make_async_copy(
+                zero_vmem, egrad_hbm.at[:, pl.ds(off, CHUNK)], zsem).start()
+            return _
+        jax.lax.fori_loop(0, ncs_all[j] - n_acts[j], zfill, 0)
+
+    for j in range(tpb):
+        @pl.when(n_acts[j] > 0)
+        def _(j=j):
+            dma_in(j, 0, n_acts[j] - 1).start()
+
+    def tile_math(j, ci, c, T_end, s_comb):
+        chunk = jnp.transpose(chunk_vmem[j, ci % 2])   # [CHUNK, 16]
+        alpha, pre, aux = _chunk_alpha(
+            chunk, pxfs[j], pyfs[j], counts[j], c * CHUNK,
+            alpha_min=alpha_min, use_lod=use_lod, inside=insides[j])
+        applied = pre & (aux["k"] + 1 <= n_contribs[j])
+        a = jnp.where(applied, alpha, 0.0)
+        one_m = 1.0 - a
+        t_rel = _scan_ex_prod(one_m)
+        chunk_prod = -jnp.max(-(t_rel * one_m), axis=0, keepdims=True)
+        t_start = T_end / jnp.maximum(chunk_prod, 1e-30)
+        rcp = 1.0 / one_m
+        contrib0 = a * t_rel
+        contrib = contrib0 * t_start
+
+        col = lambda i: chunk[:, i:i + 1]
+        dcr = jnp.sum(contrib * g4s[j][0:1], axis=1, keepdims=True)
+        dcg = jnp.sum(contrib * g4s[j][1:2], axis=1, keepdims=True)
+        dcb = jnp.sum(contrib * g4s[j][2:3], axis=1, keepdims=True)
+        dcd = jnp.sum(contrib * g4s[j][3:4], axis=1, keepdims=True)
+
+        cdotg = _mm_dekker(chunk[:, _ER:_EID + 1], g4s[j])
+        pcg0 = contrib0 * cdotg
+        suf0 = _scan_suf(pcg0)
+        suf_comb = suf0 * t_start + s_comb
+
+        dal = cdotg * (t_rel * t_start) - (suf_comb + dTfs[j]) * rcp
+        dal = jnp.where(applied, dal, 0.0)
+        dmy = dal * aux["dalpha_dmy"] if use_lod else dal
+        not_clipped = aux["opG"] < 0.99
+        dpower = jnp.where(not_clipped, aux["opG"] * dmy, 0.0)
+        dx, dy = aux["dx"], aux["dy"]
+        u = dx * dpower
+        v = dy * dpower
+        su = jnp.sum(u, axis=1, keepdims=True)
+        sv = jnp.sum(v, axis=1, keepdims=True)
+        s0 = jnp.sum(dpower, axis=1, keepdims=True)
+        dop = s0 / jnp.maximum(col(_EOP), 1e-30)
+        ds0 = jnp.sum(dx * u, axis=1, keepdims=True)
+        ds1 = jnp.sum(dy * u, axis=1, keepdims=True)
+        ds2 = jnp.sum(dy * v, axis=1, keepdims=True)
+        two = jnp.float32(2.0)
+        dgx = two * aux["s0"] * su + aux["s1"] * sv
+        dgy = two * aux["s2"] * sv + aux["s1"] * su
+        zeros = jnp.zeros((CHUNK, N_GRAD_COLS - 10), jnp.float32)
+        g16 = jnp.concatenate(
+            [dgx, dgy, ds0, ds1, ds2, dop, dcr, dcg, dcb, dcd, zeros],
+            axis=1)
+        s_comb_n = s_comb + jnp.sum(pcg0, axis=0, keepdims=True) * t_start
+        return t_start, s_comb_n, g16
+
+    def body(ci, carry):
+        T_ends, s_combs = carry
+        slot = ci % 2
+        for j in range(tpb):
+            @pl.when(ci + 1 < n_acts[j])
+            def _(j=j):
+                dma_in(j, (ci + 1) % 2,
+                       jnp.maximum(n_acts[j] - 2 - ci, 0)).start()
+        for j in range(tpb):
+            @pl.when(ci < n_acts[j])
+            def _(j=j):
+                dma_in(j, slot, 0).wait()
+
+        new_T, new_s = [], []
+        for j in range(tpb):
+            live = ci < n_acts[j]
+            c = jnp.maximum(n_acts[j] - 1 - ci, 0)
+            T2, s2, g16 = tile_math(j, ci, c, T_ends[j], s_combs[j])
+            new_T.append(jnp.where(live, T2, T_ends[j]))
+            new_s.append(jnp.where(live, s2, s_combs[j]))
+
+            @pl.when(live)
+            def _(j=j, g16=g16, c=c):
+                @pl.when(ci >= 2)
+                def _():
+                    dma_out(j, slot, 0).wait()
+                grad_vmem[j, slot] = jnp.transpose(g16)    # [16, CHUNK]
+                dma_out(j, slot, c).start()
+        return tuple(new_T), tuple(new_s)
+
+    z = tuple(jnp.zeros((1, pix), jnp.float32) for _ in range(tpb))
+    init = (tuple(jnp.maximum(final_ts[j], 1e-30) for j in range(tpb)), z)
+    jax.lax.fori_loop(0, max_act, body, init)
+
+    # drain every tile's outstanding write DMAs before the next program
+    for j in range(tpb):
+        @pl.when(n_acts[j] >= 1)
+        def _(j=j):
+            dma_out(j, (n_acts[j] - 1) % 2, 0).wait()
+
+        @pl.when(n_acts[j] >= 2)
+        def _(j=j):
+            dma_out(j, (n_acts[j] - 2) % 2, 0).wait()
+
+    for j in range(tpb):
+        def zwait(zi, _, j=j):
+            pltpu.make_async_copy(
+                zero_vmem, egrad_hbm.at[:, pl.ds(0, CHUNK)], zsem).wait()
+            return _
+        jax.lax.fori_loop(0, ncs_all[j] - n_acts[j], zwait, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width", "height",
                      "alpha_min", "use_lod", "tpb", "scan_impl", "linear",
-                     "interpret"))
+                     "interleave", "interpret"))
 def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
                    g_img4, g_final_t, *,
                    num_tiles: int, gw: int, tile_h: int, tile_w: int,
                    width: int, height: int, alpha_min: float = 1.0 / 255.0,
                    use_lod: bool = False, tpb: int = 4,
                    scan_impl: bool = True, linear: bool = True,
+                   interleave: bool = True,
                    interpret: bool = False):
     """Hand-derived backward -> per-entry gradients [16, cap]."""
     pix = tile_h * tile_w
@@ -887,10 +1257,17 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
         n_contrib = pad_rows(n_contrib)
         g_img4 = pad_rows(g_img4)
         g_final_t = pad_rows(g_final_t)
-    kernel = functools.partial(
-        _backward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
-        width=width, height=height, alpha_min=alpha_min, use_lod=use_lod,
-        scan_impl=scan_impl, linear=linear)
+    use_il = interleave and linear
+    if use_il:
+        kernel = functools.partial(
+            _backward_kernel_il, tpb=tpb, gw=gw, tile_h=tile_h,
+            tile_w=tile_w, width=width, height=height, alpha_min=alpha_min,
+            use_lod=use_lod, linear=linear)
+    else:
+        kernel = functools.partial(
+            _backward_kernel, tpb=tpb, gw=gw, tile_h=tile_h, tile_w=tile_w,
+            width=width, height=height, alpha_min=alpha_min, use_lod=use_lod,
+            scan_impl=scan_impl, linear=linear)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -907,7 +1284,14 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
+        scratch_shapes=([
+            pltpu.VMEM((tpb, 2, N_ENTRY_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb, 2)),
+            pltpu.VMEM((tpb, 2, N_GRAD_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((tpb, 2)),
+            pltpu.VMEM((N_GRAD_COLS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ] if use_il else [
             pltpu.VMEM((2, N_ENTRY_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, N_GRAD_COLS, CHUNK), jnp.float32),
@@ -916,7 +1300,7 @@ def blend_backward(entry_data, tile_starts, tile_counts, final_t, n_contrib,
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((N_GRAD_COLS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ]),
     )
     return pl.pallas_call(
         kernel,

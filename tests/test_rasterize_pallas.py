@@ -443,7 +443,7 @@ def test_compact_unaligned_boundary_paths():
         proj.xy, proj.depth, proj.radius, proj.valid, proj.conic,
         proj.opacity, color, invd, bg,
         width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, max_dup=MAX_DUP,
-        want_seen=True, interpret=True)
+        want_seen=True, layout="compact", interpret=True)
     np.testing.assert_allclose(np.asarray(out_pal.image),
                                np.asarray(out_ref.image), atol=2e-5)
     np.testing.assert_array_equal(np.asarray(out_pal.seen),
@@ -454,7 +454,7 @@ def test_compact_unaligned_boundary_paths():
         out = rasterize_pallas_full(
             proj.xy, proj.depth, proj.radius, proj.valid, proj.conic, op,
             col, invd, bg, width=W, height=H, tile_w=TILE_W, tile_h=TILE_H,
-            max_dup=MAX_DUP, interpret=True)
+            max_dup=MAX_DUP, layout="compact", interpret=True)
         return (out.image * jnp.sin(jnp.arange(out.image.size)
                                     .reshape(out.image.shape))).sum()
 
