@@ -1,8 +1,7 @@
-"""Back-to-back full-step A/B of the linear vs log-space blend kernels in
-ONE process (cross-session machine/tunnel variance was larger than the
-effect being measured: the same build benched 41.0/45.4/48.8 ms across
-sessions). Times jit(grad(loss)) at bench config for all four
-(fwd, bwd) linear combinations, interleaved twice."""
+"""Back-to-back full-step A/B of the tile-INTERLEAVED vs sequential blend
+kernels in ONE process (cross-session variance invalidates separate-run
+comparisons). Times jit(grad(loss)) at bench config for the four
+(fwd, bwd) interleave combinations, two rounds."""
 import os
 import sys
 import time
@@ -54,18 +53,20 @@ def main():
         jax.clear_caches()
         # pin the linear flags through functools.partial so each combo is
         # its own jit cache entry
-        rp.blend_forward = functools.partial(orig_fwd.__wrapped__, linear=fl)
+        rp.blend_forward = functools.partial(orig_fwd.__wrapped__, interleave=fl)
         rp.blend_forward = jax.jit(
             rp.blend_forward,
             static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width",
                              "height", "t_eps", "alpha_min", "use_lod",
-                             "want_seen", "tpb", "scan_impl", "interpret"))
-        rp.blend_backward = functools.partial(orig_bwd.__wrapped__, linear=bl)
+                             "want_seen", "tpb", "scan_impl", "linear", "interleave",
+                             "interpret"))
+        rp.blend_backward = functools.partial(orig_bwd.__wrapped__, interleave=bl)
         rp.blend_backward = jax.jit(
             rp.blend_backward,
             static_argnames=("num_tiles", "gw", "tile_h", "tile_w", "width",
                              "height", "alpha_min", "use_lod", "tpb",
-                             "scan_impl", "interpret"))
+                             "scan_impl", "linear", "interleave",
+                             "interpret"))
 
         def render(xyz, log_scale, quat, op_logit, f_dc, f_rest):
             q = quat / jnp.linalg.norm(quat, axis=-1,
@@ -84,21 +85,20 @@ def main():
         return jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
 
     combos = [(True, True), (False, False), (True, False), (False, True)]
-    steps = {}
-    for fl, bl in combos:
-        steps[(fl, bl)] = make_step(fl, bl)
-        out = steps[(fl, bl)](*args)
-        jax.block_until_ready(out)
-        print(f"compiled fwd_linear={fl} bwd_linear={bl}", flush=True)
-
+    # each combo is traced, warmed and TIMED inside its own cache epoch —
+    # keeping jitted step objects across a clear_caches would re-trace them
+    # against whatever kernels are monkeypatched at the time of the call
     for rnd in range(2):
         for fl, bl in combos:
+            step = make_step(fl, bl)
+            out = step(*args)
+            jax.block_until_ready(out)
             t0 = time.perf_counter()
             for _ in range(10):
-                out = steps[(fl, bl)](*args)
+                out = step(*args)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / 10 * 1e3
-            print(f"round {rnd} fwd_linear={int(fl)} bwd_linear={int(bl)}: "
+            print(f"round {rnd} fwd_il={int(fl)} bwd_il={int(bl)}: "
                   f"{dt:7.2f} ms/step ({width * height / dt / 1e3:.1f} "
                   f"Mpix/s)", flush=True)
 
