@@ -92,8 +92,15 @@ def main():
         cold = timed(tr, (base + ws) % cap)  # full 32k swap
         print(f"  cold (32k fetch+evict): {cold:7.1f} ms", flush=True)
 
-        # warm WITHOUT prefetch
+        # settle: a few untimed drift steps absorb remote-host/page-cache
+        # transients (the first store measured in a process was showing
+        # 30-60% outliers in either direction)
         off = ws
+        for _ in range(5):
+            off += DRIFT
+            timed(tr, (base + off) % cap)
+
+        # warm WITHOUT prefetch
         seq = []
         for _ in range(10):
             off += DRIFT
