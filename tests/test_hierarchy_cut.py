@@ -438,3 +438,63 @@ def test_render_lod_inference_not_differentiable():
 
     with pytest.raises(ValueError, match="inference"):
         jax.grad(loss)(h.pos)
+
+
+def test_lod_fidelity_monotone_small():
+    """CPU pin of the round-4 LOD-fidelity property (LODFIDELITY_r04): on
+    an exact structured-color hierarchy, PSNR vs the leaf render degrades
+    MONOTONICALLY as tau coarsens the cut (equal cuts excepted). Guards
+    the cut/interp/LOD-alpha chain against quality regressions."""
+    n = 2000
+    rng = np.random.default_rng(5)
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    rng.uniform(3.5, 4.5, n)], axis=-1).astype(np.float32)
+    # structured multi-band colors (noise-free detail the cut must keep)
+    cols = 0.5 + 0.35 * np.stack([
+        np.sin(4.0 * pts[:, 0]) + 0.4 * np.sin(19.0 * pts[:, 1]),
+        np.cos(3.0 * pts[:, 1]) + 0.4 * np.sin(17.0 * pts[:, 2]),
+        np.sin(2.0 * pts[:, 2]) + 0.4 * np.cos(21.0 * pts[:, 0]),
+    ], axis=-1) / 1.4
+    scales = np.full((n, 3), 0.045, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    ops = np.full((n,), 0.8, np.float32)
+    C0 = 0.28209479177387814
+    shs = ((cols - 0.5) / C0).astype(np.float32)[:, None, :]
+
+    h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+    m = h.nodes.shape[0]
+    W = H = 96
+    cam = cam_mod.make_camera(np.eye(3), np.zeros(3), 0.7, 0.7, W, H)
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=1 << 15)
+
+    gt = render_mod.render_arrays(
+        jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(ops), jnp.asarray(shs), jnp.ones(n, bool),
+        cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+        cam.tan_fovy, jnp.zeros(3), sh_degree=0, width=W, height=H,
+        cfg=cfg, k_max=1024)
+    assert not bool(gt.truncated)
+    gt_img = jnp.clip(gt.image, 0, 1)
+
+    from hlod_gaussians_tpu.ops import ssim as ssim_ops
+    seq = []
+    for tau in (0.0, 3.0, 8.0, 20.0):
+        target = render_mod.tau_to_threshold(tau, float(cam.tan_fovx), W)
+        out, n_sel = render_mod.render_lod(
+            jnp.asarray(h.pos), jnp.asarray(h.scale), jnp.asarray(h.quat),
+            jnp.asarray(np.clip(h.opacity, 0, 1)), jnp.asarray(h.sh),
+            jnp.asarray(h.nodes), jnp.ones(m, bool),
+            cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy, jnp.zeros(3), max(float(target), 1e-9),
+            sh_degree=0, width=W, height=H, budget=4096, cfg=cfg,
+            k_max=1024, use_frustum=False)
+        assert not bool(out.truncated)
+        psnr = float(ssim_ops.psnr(jnp.clip(out.image, 0, 1), gt_img))
+        seq.append((psnr, int(n_sel)))
+
+    for (pa, ra), (pb, rb) in zip(seq, seq[1:]):
+        if ra > rb:          # the cut actually coarsened
+            assert pa > pb, seq
+        else:
+            assert abs(pa - pb) < 0.05, seq
+    assert seq[0][0] - seq[-1][0] > 3.0, seq   # real spread, not noise
