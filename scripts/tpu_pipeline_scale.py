@@ -61,22 +61,34 @@ def main():
                                 max_dup=1 << 22, tight_binning=True)
     CAP = 1 << 18
 
-    # ---- ground truth: 4 spatial clusters, 55k Gaussians each ----------
+    # ---- ground truth: 4 spherical SHELLS, 55k Gaussians each ----------
+    # Surface-like geometry on purpose (round-4 diagnostic,
+    # PIPEDIAG_r04.json): the earlier volumetric blobs alpha-blend dozens
+    # of semi-transparent layers per pixel, spatially averaging the color
+    # field — the RENDERED GT is then smooth enough that a few thousand
+    # directly-post-trained coarse nodes match it as well as 225k leaves
+    # and the tau curve flattens at the training floor. On a thin
+    # high-opacity shell the image detail IS the surface color detail, so
+    # coarse cuts must visibly blur it.
     from lod_fidelity_probe import structured_colors
     rng = np.random.default_rng(7)
     per = 55_000
     centers = np.array([[-1.5, -1.5, 5.0], [1.5, -1.5, 5.0],
                         [-1.5, 1.5, 5.0], [1.5, 1.5, 5.0]], np.float32)
-    pts = np.concatenate([
-        (rng.normal(size=(per, 3)) * [0.8, 0.8, 0.5] + c).astype(np.float32)
-        for c in centers])
+    parts = []
+    for c in centers:
+        d = rng.normal(size=(per, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True).clip(1e-9)
+        r = 0.7 + rng.normal(0, 0.01, (per, 1))
+        parts.append((c + d * r).astype(np.float32))
+    pts = np.concatenate(parts)
     n = pts.shape[0]
     # structured multi-band color field: coarse cuts MUST blur it, unlike
     # r03's iid-random colors (spatial noise averages to the same mean at
     # any granularity)
     cols = structured_colors(pts)
     gt_state = gm.create_from_points(pts, cols, capacity=CAP, sh_degree=1,
-                                     opacity_init=0.8)
+                                     opacity_init=0.92)
     act = gm.activate(gt_state)
 
     def cam_at(pos, look):
@@ -157,7 +169,7 @@ def main():
                       max_sh_degree=1)
     mcfg = ModelConfig(sh_degree=1)
 
-    mpath = "/tmp/tpu_pipe_scale_r04/metrics.jsonl"
+    mpath = "/tmp/tpu_pipe_scale_r04b/metrics.jsonl"
     resumed = os.path.exists(mpath)
     logger = MetricsLogger(mpath)
     t0 = time.perf_counter()
@@ -165,7 +177,7 @@ def main():
     # artifacts resume instead of recomputing (the reference's
     # --skip_if_exists restart story, scripts/full_train.py:58)
     merged = full_train.run_pipeline(
-        scene, view_loader=lambda ci: ci.v, output_dir="/tmp/tpu_pipe_scale_r04",
+        scene, view_loader=lambda ci: ci.v, output_dir="/tmp/tpu_pipe_scale_r04b",
         pcfg=pcfg, opt=opt, post=post, cfg=CFG, mcfg=mcfg, logger=logger,
         skip_if_exists=True)
     t_total = time.perf_counter() - t0
