@@ -404,6 +404,81 @@ def test_early_stop_sticky_across_chunks():
     np.testing.assert_allclose(g_pal / s, g_ref / s, atol=3e-4)
 
 
+@pytest.mark.parametrize("linear,interleave", [(False, False),
+                                               (True, False),
+                                               (False, True)])
+def test_nondefault_kernel_flag_combos(linear, interleave):
+    """The retained A/B paths (log-space formulation, sequential walk)
+    must stay parity-correct even though production defaults to
+    linear+interleaved — these are the fallback/measurement paths cited
+    in docs/KERNEL_DESIGN.md. Note interleave=True requires linear
+    (blend_forward falls back internally when linear=False)."""
+    from hlod_gaussians_tpu.ops import rasterize_pallas as rp
+    from hlod_gaussians_tpu.ops.binning import bin_gaussians_aligned
+
+    xyz, scales, quats, ops, colors, cam = make_scene(100, seed=23, big=True)
+    proj = project(xyz, scales, quats, ops, cam)
+    color = jnp.asarray(colors)
+    invd = 1.0 / jnp.maximum(proj.depth, 1e-6)
+
+    bins = bin_gaussians(proj.xy, proj.depth, proj.radius, proj.valid,
+                         W, H, TILE_W, TILE_H, MAX_DUP)
+    out_ref = rasterize_scan(
+        bins, proj.xy, proj.conic, proj.opacity, color, invd,
+        jnp.full((3,), 0.2), None, None,
+        width=W, height=H, tile_w=TILE_W, tile_h=TILE_H, k_max=256)
+
+    abins = bin_gaussians_aligned(proj.xy, proj.depth, proj.radius,
+                                  proj.valid, W, H, TILE_W, TILE_H,
+                                  MAX_DUP, rp.CHUNK)
+    n = proj.xy.shape[0]
+    feats = jnp.stack([
+        proj.xy[:, 0], proj.xy[:, 1],
+        -0.5 * proj.conic[:, 0], -proj.conic[:, 1], -0.5 * proj.conic[:, 2],
+        proj.opacity, color[:, 0], color[:, 1], color[:, 2], invd,
+        jnp.ones((n,)), jnp.ones((n,)),
+        jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)),
+    ], axis=0)
+    from hlod_gaussians_tpu.ops.rasterize import _expand
+    entry_data = _expand(feats, abins)
+    from hlod_gaussians_tpu.ops.binning import tile_grid
+    gw, gh = tile_grid(W, H, TILE_W, TILE_H)
+
+    img4, final_t, n_contrib, _ = rp.blend_forward(
+        entry_data, abins.tile_starts, abins.tile_counts,
+        num_tiles=gw * gh, gw=gw, tile_h=TILE_H, tile_w=TILE_W,
+        width=W, height=H, linear=linear, interleave=interleave,
+        interpret=True)
+
+    def untile(x):
+        x = x.reshape(gh, gw, TILE_H, TILE_W)
+        return np.swapaxes(x, 1, 2).reshape(gh * TILE_H, gw * TILE_W)[:H, :W]
+
+    ref_ft = np.asarray(out_ref.final_t)
+    np.testing.assert_allclose(untile(np.asarray(final_t[:, 0])), ref_ft,
+                               atol=5e-5)
+    for ch in range(3):
+        np.testing.assert_allclose(
+            untile(np.asarray(img4[:, ch])),
+            np.asarray(out_ref.image[ch]) - 0.2 * ref_ft, atol=5e-5)
+
+    # backward: per-entry gradients must match the default path's
+    g4 = jnp.ones_like(img4)
+    gft = jnp.zeros_like(final_t)
+    eg_var = rp.blend_backward(
+        entry_data, abins.tile_starts, abins.tile_counts, final_t,
+        n_contrib, g4, gft, num_tiles=gw * gh, gw=gw, tile_h=TILE_H,
+        tile_w=TILE_W, width=W, height=H, linear=linear,
+        interleave=interleave, interpret=True)
+    eg_def = rp.blend_backward(
+        entry_data, abins.tile_starts, abins.tile_counts, final_t,
+        n_contrib, g4, gft, num_tiles=gw * gh, gw=gw, tile_h=TILE_H,
+        tile_w=TILE_W, width=W, height=H, interpret=True)
+    s = np.abs(np.asarray(eg_def)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(eg_var) / s,
+                               np.asarray(eg_def) / s, atol=5e-5)
+
+
 def test_compact_unaligned_boundary_paths():
     """Round-4 compact (unaligned) layout: tiles share boundary chunks.
 
