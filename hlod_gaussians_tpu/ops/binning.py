@@ -266,6 +266,15 @@ class AlignedBins(NamedTuple):
     num_candidates: jnp.ndarray  # scalar int32 — rect entries before refinement
 
 
+class CompactBins(AlignedBins):
+    """Marker subtype: tile_starts are PACKED (not chunk-aligned). Only the
+    sequential boundary-RMW kernels may consume this layout; the interleaved
+    kernels assume chunk-aligned starts and would clobber shared boundary
+    chunks. rasterize_tiles keys off this type to force interleave=False
+    (pytree unflattening preserves the concrete NamedTuple class, so the
+    marker survives jit boundaries)."""
+
+
 def align_bins(bins: TileBins, num_tiles: int, chunk: int) -> AlignedBins:
     """Re-pack the sorted dup list so each tile's range is chunk-aligned.
 
@@ -332,13 +341,11 @@ def bin_gaussians_compact(xy, depth, radius, valid, width: int, height: int,
     Returns AlignedBins with the SAME field contract except tile_starts
     are true packed offsets (not chunk-aligned).
     """
-    gw, gh = tile_grid(width, height, tile_w, tile_h)
-    num_tiles = gw * gh
-    del gw, gh, num_tiles
-    # the kernels DMA floor-aligned 128-entry windows that may extend up to
-    # one chunk past the last tile's range — the capacity itself must be a
-    # chunk multiple so those windows stay in bounds
-    assert max_dup % 128 == 0, max_dup
+    # the kernels DMA floor-aligned CHUNK-entry windows that may extend up
+    # to one chunk past the last tile's range — the capacity itself must be
+    # a chunk multiple so those windows stay in bounds
+    from hlod_gaussians_tpu.ops.rasterize_pallas import CHUNK
+    assert max_dup % CHUNK == 0, (max_dup, CHUNK)
     bins = bin_gaussians(xy, depth, radius, valid, width, height, tile_w,
                          tile_h, max_dup, ext=ext, reff2=reff2)
     md = bins.sorted_gid.shape[0]
@@ -351,7 +358,7 @@ def bin_gaussians_compact(xy, depth, radius, valid, width: int, height: int,
             is_stable=True)
     else:
         gen_to_slot = jnp.zeros((0,), jnp.int32)   # trips _expand_bwd
-    return AlignedBins(entry_gid=bins.sorted_gid,
+    return CompactBins(entry_gid=bins.sorted_gid,
                        tile_starts=bins.tile_starts,
                        tile_counts=bins.tile_counts,
                        gen_to_slot=gen_to_slot, gen_valid=bins.gen_valid,

@@ -155,6 +155,13 @@ def rasterize_tiles(
     num_tiles = gw * gh
     use_lod = ts is not None and kids is not None
 
+    # the compact (packed) layout is only legal with the SEQUENTIAL kernels:
+    # interleaved tiles would clobber the boundary chunk they share with a
+    # neighbour still in flight (ADVICE r04). The marker type survives jit.
+    from hlod_gaussians_tpu.ops.binning import CompactBins
+    if isinstance(abins, CompactBins):
+        interleave = False
+
     if use_lod:
         t_col = ts
         # kids >= 1 guard: raw NODE_CHILD_COUNT is 0 for leaves; 1/0
@@ -225,12 +232,14 @@ def rasterize_pallas_full(xy, depth, radius, valid, conic, opacity, color,
     """bin + align + blend in one call (binning is not differentiated).
 
     ALIGNED layout by default: the compact layout was measured SLOWER
-    end-to-end (+4.3 ms at bench shapes — the ~0.5 extra boundary chunk
-    walked per tile costs fwd +2.1 / bwd +3.6 ms against binning -1.1,
-    gather -0.35; scripts/profile3.py round-4 A/B). layout="compact"
-    keeps the packed path exercised; it forces the SEQUENTIAL kernels
-    (the boundary read-modify-write needs the predecessor tile complete,
-    which tile interleaving breaks)."""
+    end-to-end (+4.8 ms at bench shapes with the CORRECT sequential
+    kernels — fwd +3.3 / bwd +4.0 ms against binning -1.9, gather -0.6;
+    scripts/profile3.py round-5 re-measure after the r04 A/B was found to
+    have driven the aligned-only interleaved kernels on unaligned starts,
+    ADVICE r04). layout="compact" keeps the packed path exercised; it
+    forces the SEQUENTIAL kernels (the boundary read-modify-write needs
+    the predecessor tile complete, which tile interleaving breaks) — the
+    CompactBins marker type enforces this in rasterize_tiles."""
     if layout == "compact":
         from hlod_gaussians_tpu.ops.binning import bin_gaussians_compact
         abins = bin_gaussians_compact(

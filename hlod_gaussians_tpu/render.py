@@ -99,7 +99,8 @@ def render_arrays(
     invdepth_g = 1.0 / jnp.maximum(proj.depth, 1e-6)
     if cfg.backend == "pallas":
         # aligned layout: the compact (unaligned) layout measured slower
-        # end-to-end (+4.3 ms at bench shapes; scripts/profile3.py r04 A/B)
+        # end-to-end (+4.8 ms at bench shapes with the correct sequential
+        # kernels; scripts/profile3.py r05 re-measure)
         from hlod_gaussians_tpu.ops.binning import bin_gaussians_aligned
         from hlod_gaussians_tpu.ops import rasterize as rast
         from hlod_gaussians_tpu.ops import rasterize_pallas as rp

@@ -175,13 +175,25 @@ def main():
     ms, centry = timeit(egather, proj, color, cb)
     print(f"entry gather (compact): {ms:7.2f} ms", flush=True)
 
-    ms, cfout = timeit(fwd, centry, cb.tile_starts, cb.tile_counts)
-    cimg4_t, cft_t, cnc_t, _ = cfout
-    print(f"fwd kernel (compact): {ms:7.2f} ms", flush=True)
+    # compact (packed) starts are UNALIGNED: the interleaved kernels are
+    # aligned-only (boundary-RMW hazard + false pl.multiple_of hint), so the
+    # compact rows must run the SEQUENTIAL kernels (ADVICE r04 — the r04
+    # numbers cited in rasterize.py/render.py were measured through the
+    # interleaved jits and were corrupt)
+    fwd_seq = jax.jit(lambda e, s, c: rp.blend_forward(
+        e, s, c, num_tiles=num_tiles, gw=gw, tile_h=TH, tile_w=TW,
+        width=width, height=height, interleave=False))
+    bwd_seq = jax.jit(lambda e, s, c, ft, nc, g, gf: rp.blend_backward(
+        e, s, c, ft, nc, g, gf, num_tiles=num_tiles, gw=gw, tile_h=TH,
+        tile_w=TW, width=width, height=height, interleave=False))
 
-    ms, cegr = timeit(bwd, centry, cb.tile_starts, cb.tile_counts,
+    ms, cfout = timeit(fwd_seq, centry, cb.tile_starts, cb.tile_counts)
+    cimg4_t, cft_t, cnc_t, _ = cfout
+    print(f"fwd kernel (compact, seq): {ms:7.2f} ms", flush=True)
+
+    ms, cegr = timeit(bwd_seq, centry, cb.tile_starts, cb.tile_counts,
                       cft_t, cnc_t, g4, gft)
-    print(f"bwd kernel (compact): {ms:7.2f} ms", flush=True)
+    print(f"bwd kernel (compact, seq): {ms:7.2f} ms", flush=True)
 
     ms, _ = timeit(greduce, cegr, cb)
     print(f"grad reduce (compact): {ms:7.2f} ms", flush=True)
