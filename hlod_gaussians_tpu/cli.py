@@ -296,7 +296,13 @@ def cmd_create_hierarchy(args):
             opacity=np.clip(h.opacity, 1e-4, 1 - 1e-6).astype(np.float32),
             shs=h.sh.astype(np.float32), nodes=h.nodes))
         n = h.nodes.shape[0]
-    print(f"wrote {n} nodes -> {args.output}")
+    # graph dump next to the hierarchy, as the reference creator always
+    # does (mainHierarchyCreator.cpp:184)
+    from hlod_gaussians_tpu.data import dhier as dhier_io
+    d = dhier_io.load_dhier(args.output)
+    gdf = os.path.splitext(args.output)[0] + ".gdf"
+    dhier_io.save_gdf(gdf, d.nodes)
+    print(f"wrote {n} nodes -> {args.output} (+ {os.path.basename(gdf)})")
 
 
 def main(argv=None):

@@ -81,6 +81,60 @@ def load_dhier(path: str) -> DHier:
                  log_scale=log_scale, opacity=opacity, shs=shs, nodes=nodes)
 
 
+def save_gdf(path: str, nodes: np.ndarray, max_depth: int = 15) -> None:
+    """Hierarchy graph dump in the reference's `.gdf` format
+    (writer.cpp::writeHierarchyGDF + writeRec:294-340, emitted by the
+    creator at mainHierarchyCreator.cpp:184 with max_depth=15).
+
+    Replicates the reference algorithm EXACTLY — including its
+    idiosyncratic labelling, where each node's printed label is the shared
+    edge counter's value at entry (so a node whose elder sibling subtree
+    advanced the counter gets a label unrelated to its table index, and
+    leaf labels repeat). Byte-equality with the reference output is
+    enforced by tests/test_oracle_parity.py against a committed fixture.
+
+    ``nodes`` is the model node-table layout [N,6]
+    (depth, parent, child_count, first_child, next_sibling, aux).
+    """
+    import sys
+
+    n = nodes.shape[0]
+    parent = nodes[:, 1]
+    children: list = [[] for _ in range(n)]
+    # preorder table: children blocks are pushed in sibling order, so
+    # grouping by parent in increasing index order preserves child order
+    for i in range(1, n):
+        p = int(parent[i])
+        if p >= 0:
+            children[p].append(i)
+
+    lines = ["nodedef>name VARCHAR \n"]
+    edges: list = []
+    counter = [0]
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, n + 100))
+    try:
+        def rec(i: int, parent_label: int, depth: int) -> None:
+            lines.append(f"{counter[0]}\n")
+            if not children[i] or depth >= max_depth:
+                return
+            for c in children[i]:
+                edges.append((counter[0], parent_label))
+                cur = counter[0]
+                counter[0] += 1
+                rec(c, cur, depth + 1)
+
+        rec(0, -1, 0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    lines.append("edgedef>node1 VARCHAR,node2 VARCHAR\n")
+    lines.extend(f"{a},{b}\n" for a, b in edges)
+    with open(path, "w", newline="") as f:
+        f.write("".join(lines))
+
+
 class UpstreamHier(NamedTuple):
     pos: np.ndarray        # [P,3]
     quat: np.ndarray       # [P,4]

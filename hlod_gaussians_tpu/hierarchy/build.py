@@ -198,7 +198,8 @@ def assign_kd_segments(means, scales, n_levels: int):
     return seg, occupied
 
 
-def _merge_level(ph_arrays, lo_i: int, hi_i: int, interior):
+def _merge_level(ph_arrays, lo_i: int, hi_i: int, interior,
+                 clamp_opacity: bool = True):
     """Merge children [2*lo_i+1, 2*hi_i+1) into parents [lo_i, hi_i).
 
     All static slices. Returns updated arrays for the parent range only.
@@ -245,14 +246,19 @@ def _merge_level(ph_arrays, lo_i: int, hi_i: int, interior):
     det_neg = jnp.sum(cross * evecs[..., :, 2], axis=-1) < 0
     evecs = evecs.at[..., :, 2].multiply(jnp.where(det_neg, -1.0, 1.0)[..., None])
     mquat = quaternion.from_matrix(evecs)
-    # opacity = wsum / surface must not exceed 1: the reference's retry
-    # loop INFLATES the covariance until it does (ClusterMerger.cpp:101-116,
-    # the numerical floor above only handles degeneracy). ellipse_surface
-    # is quadratic in scale, so scaling by sqrt(wsum/surface) lands the
-    # opacity exactly at 1 in closed form — no data-dependent loop.
+    # opacity = wsum / surface can exceed 1 in the REFERENCE (its retry
+    # loop ClusterMerger.cpp:101-116 only handles zero eigenvalues; merged
+    # opacity ClusterMerger.cpp:139 is written unclamped — the committed
+    # oracle fixture has 20/1023 interior nodes above 1). Production mode
+    # (clamp_opacity=True, our deviation) inflates the scale by
+    # sqrt(wsum/surface) — ellipse_surface is quadratic in scale, so the
+    # opacity lands exactly at 1 in closed form while preserving the
+    # opacity*surface weight. clamp_opacity=False reproduces the reference
+    # exactly (used by the oracle parity tests).
     surf = jnp.maximum(ellipse_surface(mscale), 1e-20)
-    inflate = jnp.sqrt(jnp.maximum(wsum / surf, 1.0))
-    mscale = mscale * inflate[..., None]
+    if clamp_opacity:
+        inflate = jnp.sqrt(jnp.maximum(wsum / surf, 1.0))
+        mscale = mscale * inflate[..., None]
     mop = wsum / jnp.maximum(ellipse_surface(mscale), 1e-20)
 
     # AABB union + longest side (ClusterMerger.cpp:148-169)
@@ -354,10 +360,12 @@ def align_rotations_to(parent_quat, child_quat, child_scale):
     return new_quat, new_scale
 
 
-@functools.partial(jax.jit, static_argnames=("n_levels", "merger"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_levels", "merger", "clamp_opacity"))
 def build_hierarchy_padded(means, scales, quats, opacities, shs,
                            *, n_levels: int,
-                           merger: str = "cluster") -> PaddedHierarchy:
+                           merger: str = "cluster",
+                           clamp_opacity: bool = True) -> PaddedHierarchy:
     """Full hierarchy build (kd split + merge + align) on heap-padded arrays."""
     n = means.shape[0]
     h_cap = 2 ** (n_levels + 1) - 1
@@ -384,7 +392,11 @@ def build_hierarchy_padded(means, scales, quats, opacities, shs,
 
     # bottom-up merge, level by level (static slice per level)
     arrays = [pos, scale, quat, opacity, sh, box_lo, box_hi, max_side]
-    merge_fn = {"cluster": _merge_level, "avg": _merge_level_avg}[merger]
+    merge_fn = {
+        "cluster": functools.partial(_merge_level,
+                                     clamp_opacity=clamp_opacity),
+        "avg": _merge_level_avg,
+    }[merger]
     for level in range(n_levels - 1, -1, -1):
         lo_i, hi_i = 2 ** level - 1, 2 ** (level + 1) - 1
         merged = merge_fn(tuple(arrays), lo_i, hi_i, interior)
@@ -471,7 +483,8 @@ def compact_hierarchy(ph: PaddedHierarchy) -> Hierarchy:
 
 
 def build_hierarchy(means, scales, quats, opacities, shs,
-                    merger: str = "cluster") -> Hierarchy:
+                    merger: str = "cluster",
+                    clamp_opacity: bool = True) -> Hierarchy:
     """Offline entry point: numpy/jnp in, dense Hierarchy out.
 
     merger="cluster" is the production covariance-preserving merge
@@ -482,7 +495,7 @@ def build_hierarchy(means, scales, quats, opacities, shs,
     ph = build_hierarchy_padded(
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
         jnp.asarray(opacities), jnp.asarray(shs), n_levels=n_levels,
-        merger=merger)
+        merger=merger, clamp_opacity=clamp_opacity)
     return compact_hierarchy(ph)
 
 

@@ -446,10 +446,13 @@ bool write_dhier(const std::string& path, const Tree& t, int sh_degree) {
     f.write(reinterpret_cast<const char*>(g.sh.data()), K * 4);
   int32_t N = t.nodes.size();
   f.write(reinterpret_cast<const char*>(&N), 4);
-  for (auto& nd : t.nodes) {
+  for (size_t i = 0; i < t.nodes.size(); i++) {
+    const Node& nd = t.nodes[i];
     int32_t fc = nd.child_count == 0 ? -1 : nd.first_child;
+    // aux column: original point index for leaves, -1 for merged nodes —
+    // the reference fork's semantics (writer.cpp:123/134)
     int32_t row[6] = {nd.depth, nd.parent, nd.child_count, fc,
-                      nd.next_sibling, 0};
+                      nd.next_sibling, t.leaf_point[i]};
     f.write(reinterpret_cast<const char*>(row), 24);
   }
   return true;
