@@ -154,6 +154,68 @@ def test_viewer_server_roundtrip():
     np.testing.assert_allclose(seen_cam["wv"], expect, atol=1e-7)
 
 
+def test_viewer_server_replays_committed_sibr_fixture():
+    """Protocol conformance against a COMMITTED byte fixture (VERDICT r04
+    #9): tests/fixtures/viewer/sibr_request.bin holds the exact framed
+    bytes a SIBR remote client sends — 4-byte LE length + UTF-8 JSON with
+    the full field set network_gui.receive() consumes
+    (gaussian_renderer/network_gui.py:44-86) — first a 32x24 camera
+    request, then a resolution-0 keepalive. ViewerServer must serve both
+    straight off the raw bytes: reply #1 = exactly W*H*3 image bytes +
+    LE32-framed ascii status JSON, reply #2 = empty-verify frame."""
+    import os
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "viewer",
+                           "sibr_request.bin")
+    with open(fixture, "rb") as f:
+        raw = f.read()
+
+    srv = ViewerServer(port=0)
+    srv.status = dict(num_gaussians=77)
+    port = srv.port
+    W, H = 32, 24
+    result = {}
+
+    def render_fn(cam, opts):
+        assert (cam.width, cam.height) == (W, H)
+        assert opts["slider"]["distance_multiplier"] == 1.0
+        return np.full((cam.height, cam.width, 3), 9, np.uint8)
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port))
+        s.sendall(raw)                       # replay the fixture verbatim
+
+        def recv_exact(n):
+            b = b""
+            while len(b) < n:
+                b += s.recv(n - len(b))
+            return b
+
+        img = recv_exact(W * H * 3)
+        n = int.from_bytes(recv_exact(4), "little")
+        verify = recv_exact(n)
+        n2 = int.from_bytes(recv_exact(4), "little")
+        result.update(img=img, verify=verify, empty_len=n2)
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    served = 0
+    deadline = time.monotonic() + 10.0
+    while served < 2 and time.monotonic() < deadline:
+        if srv.poll_once(render_fn) is not None:
+            served += 1
+        else:
+            time.sleep(0.005)
+    t.join(timeout=5)
+    srv.close()
+    assert served == 2
+    assert len(result["img"]) == W * H * 3 and result["img"][0] == 9
+    status = json.loads(result["verify"])
+    assert status["num_gaussians"] == 77
+    assert result["empty_len"] == 0          # keepalive reply: empty verify
+
+
 def test_covisibility_graph_from_colmap_db(tmp_path):
     """two_view_geometries -> neighbor table (consistency_graph.py:66-86)."""
     import sqlite3
