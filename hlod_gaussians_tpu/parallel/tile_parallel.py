@@ -64,17 +64,27 @@ def render_tile_parallel(
         focal_x = width / (2.0 * tfx)
         focal_y = height / (2.0 * tfy)
         cov6 = gaussian_math.compute_cov3d(scales, quats)
+        # tight alpha-aware extents exactly as the single-chip production
+        # path (render.py): ext/reff2 are relative half-extents, invariant
+        # to the band-local y shift below
+        tight = cfg.backend == "pallas" and cfg.tight_binning
+        max_scale = jnp.max(scales, axis=-1)
         proj = gaussian_math.project_gaussians(
             means3d, cov6, opacities, world_view, full_proj,
             width, height, focal_x, focal_y, tfx, tfy,
-            dilation=cfg.dilation, near=cfg.near, valid_in=valid)
+            dilation=cfg.dilation, near=cfg.near, valid_in=valid,
+            big_limit=cfg.big_limit, max_scale=max_scale)
         color = sh_ops.sh_color(sh_degree, shs, means3d, campos)
 
-        # band-local pixel space: shift y so this device's band starts at 0
+        # band-local pixel space: shift y so this device's band starts at 0.
+        # The band membership test uses the tight y half-extent when
+        # available (strictly contains every pixel the blend can touch),
+        # else the reference's 3-sigma circle radius.
         xy_local = proj.xy - jnp.stack(
             [jnp.zeros(()), (band_h * idx).astype(jnp.float32)])
-        in_band = ((xy_local[:, 1] + proj.radius) >= 0) \
-            & ((xy_local[:, 1] - proj.radius) < band_h)
+        r_y = proj.ext[:, 1] if tight else proj.radius
+        in_band = ((xy_local[:, 1] + r_y) >= 0) \
+            & ((xy_local[:, 1] - r_y) < band_h)
         valid_b = proj.valid & in_band
 
         if cfg.backend == "pallas":
@@ -84,7 +94,9 @@ def render_tile_parallel(
                 jax.lax.stop_gradient(xy_local),
                 jax.lax.stop_gradient(proj.depth), proj.radius, valid_b,
                 width, band_h, cfg.tile_w, cfg.tile_h, cfg.max_dup // n_dev,
-                rp.CHUNK)
+                rp.CHUNK,
+                ext=jax.lax.stop_gradient(proj.ext) if tight else None,
+                reff2=jax.lax.stop_gradient(proj.reff2) if tight else None)
             out = rasterize_tiles(
                 abins, xy_local, proj.conic, proj.opacity, color,
                 1.0 / jnp.maximum(proj.depth, 1e-6), bg,

@@ -431,22 +431,42 @@ def render_lod_auto(
                        world_view, target_size, pcache, use_frustum)
     n_sel = int(jnp.sum(cut.render_mask))
     budget = _budget_bucket(n_sel, min_budget, max_budget, means3d.shape[0])
+    # dense cuts take the MASKED path, exactly as render_lod_stream's
+    # regulation does: past ~1/4 of the tree the budget path's compaction
+    # feature gather (latency-bound, ~42 ns/index) costs more than the
+    # masked lerp over all C rows — this was the 2x gap between the auto
+    # and stream rows in LOD_r04 (VERDICT r04 #7)
+    use_masked = 4 * budget >= means3d.shape[0]
     md = max(1 << 17, 4 * budget) if auto_max_dup else cfg.max_dup
+    md_key = "masked" if use_masked else budget
     if md_state is not None:
-        md = max(md, md_state.get(budget, 0))
+        md = max(md, md_state.get(md_key, 0))
     while True:
-        out, n = render_lod(
-            means3d, scales, quats, opacities, shs, nodes, alive,
-            world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-            target_size, boxes, None, pcache, cut, interp_table,
-            sh_degree=sh_degree, width=width, height=height, budget=budget,
-            n_skybox=n_skybox,
-            cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
-            if auto_max_dup else cfg,
-            k_max=k_max, antialiasing=antialiasing, use_frustum=use_frustum)
+        if use_masked:
+            out, n = render_lod_masked(
+                means3d, scales, quats, opacities, shs, nodes, alive,
+                world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+                target_size, boxes, pcache, cut, interp_table,
+                sh_degree=sh_degree, width=width, height=height,
+                n_skybox=n_skybox,
+                cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
+                if auto_max_dup else cfg,
+                k_max=k_max, antialiasing=antialiasing,
+                use_frustum=use_frustum)
+        else:
+            out, n = render_lod(
+                means3d, scales, quats, opacities, shs, nodes, alive,
+                world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
+                target_size, boxes, None, pcache, cut, interp_table,
+                sh_degree=sh_degree, width=width, height=height,
+                budget=budget, n_skybox=n_skybox,
+                cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
+                if auto_max_dup else cfg,
+                k_max=k_max, antialiasing=antialiasing,
+                use_frustum=use_frustum)
         if not auto_max_dup or md >= cfg.max_dup or not bool(out.truncated):
             if md_state is not None:
-                md_state[budget] = md
+                md_state[md_key] = md
             return out, n
         # escalation = a silent re-render of the whole frame; surface it so
         # a capacity regression shows up as a counter, not as mystery
