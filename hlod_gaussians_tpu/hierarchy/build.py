@@ -153,24 +153,37 @@ def _num_levels(n: int) -> int:
     return max(1, math.ceil(math.log2(n))) if n > 1 else 1
 
 
-def assign_kd_segments(means, scales, n_levels: int):
+def assign_kd_segments(means, scales, n_levels: int, real=None):
     """Level-synchronous kd-median split (PointbasedKdTreeGenerator.cpp:16-68).
 
     Returns (leaf_seg [n] heap id per point, occupied [H] bool).
     Split rule matches the reference: pivot = num/2 - 1, left gets
     [0, num/2), axis = longest side of the segment AABB of (mean +- 3*max_scale).
+
+    ``real`` (optional [n] bool) marks live rows when the input is padded
+    to a shape bucket (build_hierarchy pads leaf counts to powers of two so
+    per-chunk pipelines compile the build ONCE instead of once per distinct
+    leaf count — each cold build compile is ~150 s through the remote
+    compile service). Padded rows never influence counts, segment AABBs,
+    median ranks, or occupancy: they sort past every real key (+inf), ride
+    along whichever child their host segment produces, and are dropped from
+    all scatters. Tree structure over the real rows is IDENTICAL to the
+    unpadded build (oracle-anchored by tests/test_oracle_parity.py).
     """
     n = means.shape[0]
     h_cap = 2 ** (n_levels + 1) - 1
+    if real is None:
+        real = jnp.ones((n,), bool)
+    big = jnp.float32(3.0e38)
     r = 3.0 * jnp.max(scales, axis=-1, keepdims=True)  # scalar radius per pt
-    lo_pt = means - r
-    hi_pt = means + r
+    lo_pt = jnp.where(real[:, None], means - r, big)
+    hi_pt = jnp.where(real[:, None], means + r, -big)
 
     seg = jnp.zeros((n,), jnp.int32)
     occupied = jnp.zeros((h_cap,), bool).at[0].set(True)
 
     for _level in range(n_levels):
-        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg,
+        counts = jax.ops.segment_sum(real.astype(jnp.int32), seg,
                                      num_segments=h_cap)
         active = counts[seg] >= 2
 
@@ -180,6 +193,7 @@ def assign_kd_segments(means, scales, n_levels: int):
                         for a in range(3)], axis=-1)
         axis = jnp.argmax(hi - lo, axis=-1).astype(jnp.int32)  # [H]
         key = jnp.take_along_axis(means, axis[seg][:, None], axis=-1)[:, 0]
+        key = jnp.where(real, key, big)      # pads rank past every real row
 
         # rank of each point within its segment by (seg, key)
         sorted_seg, _, perm = jax.lax.sort(
@@ -192,7 +206,8 @@ def assign_kd_segments(means, scales, n_levels: int):
         left_size = counts[seg] // 2
         is_right = (rank >= left_size).astype(jnp.int32)
         new_seg = jnp.where(active, 2 * seg + 1 + is_right, seg)
-        occupied = occupied.at[new_seg].set(True)
+        occupied = occupied.at[jnp.where(real, new_seg, h_cap)].set(
+            True, mode="drop")
         seg = new_seg
 
     return seg, occupied
@@ -362,33 +377,41 @@ def align_rotations_to(parent_quat, child_quat, child_scale):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_levels", "merger", "clamp_opacity"))
-def build_hierarchy_padded(means, scales, quats, opacities, shs,
+def build_hierarchy_padded(means, scales, quats, opacities, shs, real=None,
                            *, n_levels: int,
                            merger: str = "cluster",
                            clamp_opacity: bool = True) -> PaddedHierarchy:
-    """Full hierarchy build (kd split + merge + align) on heap-padded arrays."""
+    """Full hierarchy build (kd split + merge + align) on heap-padded arrays.
+
+    ``real`` (optional [n] bool) marks live input rows when the leaf arrays
+    are padded to a shape bucket — see assign_kd_segments."""
     n = means.shape[0]
     h_cap = 2 ** (n_levels + 1) - 1
 
-    leaf_seg, occupied = assign_kd_segments(means, scales, n_levels)
+    leaf_seg, occupied = assign_kd_segments(means, scales, n_levels,
+                                            real=real)
+    # padded rows scatter to h_cap (out of bounds, dropped)
+    safe_seg = leaf_seg if real is None else \
+        jnp.where(real, leaf_seg, h_cap)
     # a node is interior iff its left child slot is occupied (children come in
     # pairs); guard the last level whose child indices fall outside the heap
     left_child = 2 * jnp.arange(h_cap) + 1
     interior = occupied & (left_child < h_cap) & occupied[jnp.clip(left_child, 0, h_cap - 1)]
 
     k = shs.shape[1]
-    pos = jnp.zeros((h_cap, 3)).at[leaf_seg].set(means)
-    scale = jnp.ones((h_cap, 3)).at[leaf_seg].set(scales)
-    quat = jnp.zeros((h_cap, 4)).at[:, 0].set(1.0).at[leaf_seg].set(quats)
-    opacity = jnp.zeros((h_cap,)).at[leaf_seg].set(opacities)
-    sh = jnp.zeros((h_cap, k, 3)).at[leaf_seg].set(shs)
+    pos = jnp.zeros((h_cap, 3)).at[safe_seg].set(means, mode="drop")
+    scale = jnp.ones((h_cap, 3)).at[safe_seg].set(scales, mode="drop")
+    quat = jnp.zeros((h_cap, 4)).at[:, 0].set(1.0) \
+        .at[safe_seg].set(quats, mode="drop")
+    opacity = jnp.zeros((h_cap,)).at[safe_seg].set(opacities, mode="drop")
+    sh = jnp.zeros((h_cap, k, 3)).at[safe_seg].set(shs, mode="drop")
     r = 3.0 * jnp.max(scales, axis=-1, keepdims=True)
-    box_lo = jnp.zeros((h_cap, 3)).at[leaf_seg].set(means - r)
-    box_hi = jnp.zeros((h_cap, 3)).at[leaf_seg].set(means + r)
-    max_side = jnp.zeros((h_cap,)).at[leaf_seg].set(
-        jnp.max((means + r) - (means - r), axis=-1))
-    leaf_point = jnp.full((h_cap,), -1, jnp.int32).at[leaf_seg].set(
-        jnp.arange(n, dtype=jnp.int32))
+    box_lo = jnp.zeros((h_cap, 3)).at[safe_seg].set(means - r, mode="drop")
+    box_hi = jnp.zeros((h_cap, 3)).at[safe_seg].set(means + r, mode="drop")
+    max_side = jnp.zeros((h_cap,)).at[safe_seg].set(
+        jnp.max((means + r) - (means - r), axis=-1), mode="drop")
+    leaf_point = jnp.full((h_cap,), -1, jnp.int32).at[safe_seg].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
 
     # bottom-up merge, level by level (static slice per level)
     arrays = [pos, scale, quat, opacity, sh, box_lo, box_hi, max_side]
@@ -489,12 +512,37 @@ def build_hierarchy(means, scales, quats, opacities, shs,
 
     merger="cluster" is the production covariance-preserving merge
     (ClusterMerger.cpp); "avg" is the simple-average alternate
-    (AvgMerger.cpp)."""
+    (AvgMerger.cpp).
+
+    Inputs are padded to a power-of-two leaf bucket with a validity mask:
+    the jitted build then compiles ONCE per bucket instead of once per
+    distinct leaf count (~150 s per cold build compile through the remote
+    compile service — a per-chunk wall in the pipeline). Padded rows are
+    provably inert in the kd split (see assign_kd_segments) and dropped
+    from every scatter, so the produced tree is identical to the unpadded
+    build's."""
     n = int(means.shape[0])
     n_levels = _num_levels(n)
-    ph = build_hierarchy_padded(
+    bucket = 2 ** n_levels if n > 1 else 1
+    assert bucket >= n
+    means, scales, quats, opacities, shs = (
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
-        jnp.asarray(opacities), jnp.asarray(shs), n_levels=n_levels,
+        jnp.asarray(opacities), jnp.asarray(shs))
+    real = None
+    if bucket != n:
+        pad = bucket - n
+
+        def padded(x, fill=0.0):
+            w = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, w, constant_values=fill)
+
+        # padded scales = 1 keeps log/exp finite in downstream consumers
+        means, quats, opacities, shs = (padded(means), padded(quats),
+                                        padded(opacities), padded(shs))
+        scales = padded(scales, fill=1.0)
+        real = jnp.arange(bucket) < n
+    ph = build_hierarchy_padded(
+        means, scales, quats, opacities, shs, real, n_levels=n_levels,
         merger=merger, clamp_opacity=clamp_opacity)
     return compact_hierarchy(ph)
 

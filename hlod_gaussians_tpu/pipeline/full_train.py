@@ -84,7 +84,8 @@ def train_flat_scene(
     state = initial_state if initial_state is not None else \
         gm.create_from_points(
             points, colors, capacity=capacity, sh_degree=sh_degree,
-            n_exposures=len(views), scene_radius=scene_extent,
+            n_exposures=_exposure_bucket(len(views)),
+            scene_radius=scene_extent,
             skybox_num=skybox_num)
     skybox_num = state.n_skybox
     ts = flat.init_flat_train(state)
@@ -118,6 +119,18 @@ def train_flat_scene(
                        n_alive=int(jnp.sum(ts.gaussians.alive)))
     return ts
 
+
+
+def _exposure_bucket(n: int) -> int:
+    """Exposure-table capacity bucket (power of two, floor 8). Per-chunk
+    view counts otherwise give every chunk a distinct exposure shape, and
+    every jitted step/densify program recompiles per chunk (~60 s each via
+    the remote compile service — the PIPELINE_r04 post_densify wall).
+    Rows past the real view count are simply never indexed."""
+    b = 8
+    while b < n:
+        b <<= 1
+    return b
 
 def state_to_hierarchy(ts: flat.FlatTrainState) -> dhier_io.DHier:
     """Trained flat state -> merge hierarchy (.dhier), skipping skybox rows
@@ -170,7 +183,7 @@ def post_optimize(
 
     state = post_mod.create_from_dhier(d, capacity, skybox_num=skybox_num,
                                        scene_radius=scene_extent,
-                                       n_exposures=len(views))
+                                       n_exposures=_exposure_bucket(len(views)))
     ts = post_mod.init_post_train(state)
     forest = post_mod.rebuild_spt(state, post=post)
 
@@ -247,7 +260,8 @@ def train_coarse_scaffold(
     pcfg = pcfg or PipelineConfig()
     coarse_opt = coarse_mod.coarse_opt_config(opt)
     ts = coarse_mod.init_coarse(points, colors, capacity, scene_extent,
-                                skybox_num=skybox_num, n_exposures=len(views))
+                                skybox_num=skybox_num,
+                                n_exposures=_exposure_bucket(len(views)))
     centers = np.stack([np.asarray(v.campos) for v in views])
     order = scheduler.view_schedule(centers, len(views), n_iters,
                                     seed=pcfg.seed, walk=pcfg.mh_walk)
@@ -388,7 +402,7 @@ def run_pipeline(
             init_state = gm.create_with_scaffold(
                 ts_coarse.gaussians, chunk.center, float(chunk.extent[0]),
                 pts, cols, pcfg.chunk_capacity, sh_degree=mcfg.sh_degree,
-                n_exposures=len(cams))
+                n_exposures=_exposure_bucket(len(cams)))
             ts_chunk = train_flat_scene(
                 cams, pts, cols, scene.extent, pcfg.chunk_iters,
                 pcfg.chunk_capacity, opt=opt, cfg=cfg, pcfg=pcfg,
@@ -485,7 +499,7 @@ def run_pipeline_no_chunks(
         from hlod_gaussians_tpu.data import ply as ply_io
         g = gm.create_from_gaussian_ply(
             ply_io.load_gaussian_ply(mcfg.pretrained), pcfg.coarse_capacity,
-            n_exposures=len(views_all))
+            n_exposures=_exposure_bucket(len(views_all)))
         ts_coarse = flat.init_flat_train(g)
     else:
         ts_coarse = train_coarse_scaffold(

@@ -280,10 +280,32 @@ def densify_round(
                           ).astype(jnp.int32))
     n_new = jnp.maximum(target - size, 0)
 
-    g2, adam2, n_pairs = mcmc.add_new_gs(g, ts.adam, k1, n_new, budget=budget)
+    # The MCMC jits never touch the exposure table, but it sits in the
+    # state/Adam pytrees — and its leading dim is the PER-CHUNK view count,
+    # so passing it through retriggers a full relocate/add compile for
+    # every chunk (~60 s each through the remote compile service; this was
+    # 1117 s of the 1682 s PIPELINE_r04 wall). Swap in a fixed-shape dummy
+    # for the call and splice the real table back afterwards.
+    import dataclasses as _dc
+    exp_real, exp_m, exp_v = g.exposure, ts.adam.m["exposure"], \
+        ts.adam.v["exposure"]
+    # three DISTINCT dummies: the mcmc jits donate their inputs, and one
+    # buffer aliased into several donated slots is a donation error
+    def _dummy():
+        return jnp.zeros((1,) + exp_real.shape[1:], exp_real.dtype)
+
+    g = _dc.replace(g, exposure=_dummy())
+    adam = ts.adam._replace(m=dict(ts.adam.m, exposure=_dummy()),
+                            v=dict(ts.adam.v, exposure=_dummy()))
+
+    g2, adam2, n_pairs = mcmc.add_new_gs(g, adam, k1, n_new, budget=budget)
     g3, adam3, n_reloc = mcmc.relocate_gs(
         g2, adam2, k2, post.dead_opacity, budget=budget, max_depth=max_depth,
         extra_dead=extra_dead)
+
+    g3 = _dc.replace(g3, exposure=exp_real)
+    adam3 = adam3._replace(m=dict(adam3.m, exposure=exp_m),
+                           v=dict(adam3.v, exposure=exp_v))
     stats = dict(n_added_pairs=n_pairs, n_relocated=n_reloc,
                  size=jnp.sum(g3.alive))
     return PostTrainState(gaussians=g3, adam=adam3, step=ts.step), stats

@@ -102,14 +102,16 @@ def main():
                          lambda: post_mod.rebuild_spt(ts.gaussians,
                                                       post=post)))
 
-    # per-chunk recompile scenario: exposure-table shape changes
+    # per-chunk recompile scenario: exposure-table shape changes.
+    # BEFORE the exposure-stripping fix in densify_round this was a full
+    # ~60 s recompile; with the fix it must run at steady-state speed.
     ts2 = t("create_from_dhier (n_exposures=9)", lambda: make_ts(9))
     key, sub = jax.random.split(key)
-    t("densify_round after exposure-shape change",
-      lambda: post_mod.densify_round(ts2, sub, post=post))
+    ts2, _ = t("densify_round after exposure-shape change",
+               lambda: post_mod.densify_round(ts2, sub, post=post))
     key, sub = jax.random.split(key)
-    t("densify_round same shape again",
-      lambda: post_mod.densify_round(ts2, sub, post=post))
+    ts2, _ = t("densify_round same shape again",
+               lambda: post_mod.densify_round(ts2, sub, post=post))
 
 
 if __name__ == "__main__":

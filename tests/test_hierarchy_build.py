@@ -310,3 +310,31 @@ def test_heap_depth_exact_above_2_24():
     # the f32 formulation is indeed wrong at these indices (sanity)
     f32 = np.floor(np.log2(idxs.astype(np.float32) + 1.0)).astype(np.int32)
     assert (f32 != want).any()
+
+
+def test_bucketed_build_identical_to_unpadded():
+    """build_hierarchy pads non-power-of-two leaf counts to a shape bucket
+    (one compile per bucket instead of per leaf count); the padded rows
+    must be provably inert — tree and moments identical to driving
+    build_hierarchy_padded at the exact size."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    n = 1000                        # pads to 1024 internally
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    sc = np.exp(rng.normal(size=(n, 3)) * 0.3 - 2.5).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    op = rng.uniform(0.1, 0.9, n).astype(np.float32)
+    sh = rng.normal(size=(n, 1, 3)).astype(np.float32)
+
+    h_pad = hb.build_hierarchy(pts, sc, q, op, sh)
+    ph = hb.build_hierarchy_padded(
+        jnp.asarray(pts), jnp.asarray(sc), jnp.asarray(q),
+        jnp.asarray(op), jnp.asarray(sh), n_levels=10)
+    h_dir = hb.compact_hierarchy(ph)
+    np.testing.assert_array_equal(h_pad.nodes, h_dir.nodes)
+    np.testing.assert_array_equal(h_pad.leaf_point, h_dir.leaf_point)
+    np.testing.assert_allclose(h_pad.pos, h_dir.pos)
+    np.testing.assert_allclose(h_pad.scale, h_dir.scale)
+    np.testing.assert_allclose(h_pad.opacity, h_dir.opacity)
