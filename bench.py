@@ -120,12 +120,126 @@ def main():
 
     mpix_s = width * height / dt / 1e6
     baseline_mpix_s = 124.4  # 60 fwd+bwd steps/s at 1080p
-    print(json.dumps({
+
+    # ---- flagship LOD path, driver-verifiable (VERDICT r04 #6) ----------
+    # streaming hierarchical-LOD render at 1080p on a 1M-node tree, tau 0
+    # (full detail) and tau 15 (coarse), folded into the SAME single JSON
+    # line. Skipped (nulls) only if the budget is nearly spent.
+    lod = {"lod_stream_tau0_mpix_s": None, "lod_stream_tau15_mpix_s": None}
+    if _left() > 150.0:
+        try:
+            lod = _lod_stream_metrics(_note, _left)
+        except Exception as e:                      # keep the line printing
+            _note(f"LOD bench failed: {type(e).__name__}: {e}")
+
+    out = {
         "metric": "rasterizer_fwd_bwd_1080p",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / baseline_mpix_s, 3),
-    }))
+    }
+    out.update(lod)
+    print(json.dumps(out))
+
+
+def _lod_stream_metrics(_note, _left):
+    """tau0/tau15 streaming LOD rates on the deterministic 1M-node bench
+    tree (scripts/lod_bench.py's scene). The built tree is cached under
+    .bench_cache/ so driver re-runs skip the ~10-150 s build."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hlod_gaussians_tpu import render as render_mod
+    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.hierarchy import build as hb
+    from hlod_gaussians_tpu.hierarchy import cut as cut_mod
+    from hlod_gaussians_tpu.utils.camera import make_camera
+
+    width, height = 1920, 1080
+    n_leaves = 1 << 19
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", "lodtree.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        tree = {k: d[k] for k in d.files}
+    else:
+        _note("building 1M-node LOD tree (cached for next run)")
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(n_leaves, 3)).astype(np.float32) * 10.0
+        pts[:, 2] += 30.0
+        scales = np.exp(rng.normal(size=(n_leaves, 3)) * 0.3
+                        - 3.2).astype(np.float32)
+        quats = rng.normal(size=(n_leaves, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        ops = rng.uniform(0.3, 0.9, n_leaves).astype(np.float32)
+        shs = rng.normal(size=(n_leaves, 1, 3)).astype(np.float32) * 0.3
+        h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+        tree = dict(pos=h.pos, scale=h.scale, quat=h.quat,
+                    opacity=h.opacity, sh=h.sh, nodes=h.nodes)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, **tree)
+
+    m = tree["nodes"].shape[0]
+    cfg = RasterizerConfig(backend="pallas", tile_w=32, tile_h=32,
+                           max_dup=1 << 20, tight_binning=True)
+    pos = jnp.asarray(tree["pos"])
+    scale = jnp.asarray(tree["scale"])
+    quat = jnp.asarray(tree["quat"])
+    op = jnp.asarray(np.clip(tree["opacity"], 0, 1))
+    sh = jnp.asarray(tree["sh"])
+    nodes = jnp.asarray(tree["nodes"])
+    alive = jnp.ones((m,), bool)
+    pcache = jax.block_until_ready(cut_mod.build_parent_cache(
+        nodes, pos, jnp.max(scale.T, axis=0)))
+    itab = jax.block_until_ready(cut_mod.build_interp_table(
+        dict(means3d=pos, scales=scale, quats=quat, opacities=op, shs=sh),
+        nodes))
+    bg = jax.block_until_ready(jnp.zeros(3))
+
+    def make_cam(i):
+        a = 0.02 * i
+        R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]], np.float32)
+        return make_camera(R, np.zeros(3), fovx=1.2, fovy=0.8,
+                           width=width, height=height)
+
+    cams = [make_cam(i) for i in range(26)]
+    jax.block_until_ready([c.world_view for c in cams])
+
+    out = {}
+    for tau, key in ((0.0, "lod_stream_tau0_mpix_s"),
+                     (15.0, "lod_stream_tau15_mpix_s")):
+        tgt = jax.block_until_ready(jnp.float32(max(
+            float(render_mod.tau_to_threshold(tau, float(cams[0].tan_fovx),
+                                              width)), 1e-9)))
+        st = {}
+
+        def frame(i):
+            ci = cams[i]
+            o, _ = render_mod.render_lod_stream(
+                pos, scale, quat, op, sh, nodes, alive,
+                ci.world_view, ci.full_proj, ci.campos, ci.tan_fovx,
+                ci.tan_fovy, bg, tgt, st, pcache=pcache,
+                interp_table=itab, sh_degree=0, width=width, height=height,
+                cfg=cfg, k_max=512, use_frustum=False)
+            return o.image
+
+        _note(f"LOD stream tau{tau:g}: warm + 20 frames")
+        for i in range(6):
+            img = frame(i)
+        jax.block_until_ready(img)
+        n_frames = 20
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            img = frame(6 + i)
+        jax.block_until_ready(img)
+        dt = (time.perf_counter() - t0) / n_frames
+        out[key] = round(width * height / dt / 1e6, 2)
+        _note(f"tau{tau:g}: {out[key]} Mpix/s")
+        if _left() < 60.0:
+            break
+    return out
 
 
 if __name__ == "__main__":

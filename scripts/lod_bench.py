@@ -75,6 +75,16 @@ def main():
         nodes))
 
     bg = jax.block_until_ready(jnp.zeros(3))
+
+    def median3(run_window):
+        """Median-of-3 measurement windows + spread (artifact-hygiene
+        directive, VERDICT r04 #8): value is always the accepted
+        measurement; the spread makes one-off transients self-evident."""
+        rates = [run_window() for _ in range(3)]
+        rates.sort()
+        spread = (rates[-1] - rates[0]) / rates[1] * 100 if rates[1] else 0
+        return rates[1], rates, round(spread, 1)
+
     record = {"rows": []}
     for tau in (0.0, 3.0, 6.0, 15.0):
         target = float(render_mod.tau_to_threshold(tau, float(cam.tan_fovx),
@@ -94,17 +104,23 @@ def main():
 
         img, n_sel = run()
         jax.block_until_ready(img)
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            img, n_sel = run()
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / iters
+
+        def window():
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                img, _ = run()
+            jax.block_until_ready(img)
+            return width * height / ((time.perf_counter() - t0) / iters) / 1e6
+
+        val, rates, spread = median3(window)
         row = {
             "metric": f"lod_render_1080p_tau{tau:g}",
-            "value": round(width * height / dt / 1e6, 2),
+            "value": round(val, 2),
             "unit": "Mpix/s",
-            "fps": round(1.0 / dt, 1),
+            "fps": round(val * 1e6 / (width * height), 1),
+            "windows": [round(r, 2) for r in rates],
+            "spread_pct": spread,
             "n_rendered": int(n_sel)}
         record["rows"].append(row)
         print(json.dumps(row), flush=True)
@@ -124,15 +140,22 @@ def main():
 
         img = run_auto()
         jax.block_until_ready(img)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            img = run_auto()
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / iters
+
+        def window_auto():
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                img = run_auto()
+            jax.block_until_ready(img)
+            return width * height / ((time.perf_counter() - t0) / iters) / 1e6
+
+        val, rates, spread = median3(window_auto)
         row = {
             "metric": f"lod_render_auto_1080p_tau{tau:g}",
-            "value": round(width * height / dt / 1e6, 2),
-            "unit": "Mpix/s", "fps": round(1.0 / dt, 1),
+            "value": round(val, 2),
+            "unit": "Mpix/s", "fps": round(val * 1e6 / (width * height), 1),
+            "windows": [round(r, 2) for r in rates],
+            "spread_pct": spread,
             # regulation telemetry (round-4 directive #9): every escalation
             # is a silent full re-render — regressions show as counters
             "n_escalations": int(md_state.get("n_escalations", 0)),
@@ -172,15 +195,23 @@ def main():
             img = run_stream(i)
         jax.block_until_ready(img)
         n_frames = 20
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            img = run_stream(6 + i)
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / n_frames
+        fidx = [6]
+
+        def window_stream():
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                img = run_stream((fidx[0] + i) % len(cams))
+            jax.block_until_ready(img)
+            fidx[0] += n_frames
+            return width * height / ((time.perf_counter() - t0) / n_frames) / 1e6
+
+        val, rates, spread = median3(window_stream)
         row = {
             "metric": f"lod_render_stream_1080p_tau{tau:g}",
-            "value": round(width * height / dt / 1e6, 2),
-            "unit": "Mpix/s", "fps": round(1.0 / dt, 1),
+            "value": round(val, 2),
+            "unit": "Mpix/s", "fps": round(val * 1e6 / (width * height), 1),
+            "windows": [round(r, 2) for r in rates],
+            "spread_pct": spread,
             # one-frame-lag feedback telemetry: truncated frames rendered
             # DEGRADED (capacity grows next frame); the settled buckets
             # show where the regulation converged
@@ -194,9 +225,9 @@ def main():
 
     record["provenance"] = (
         f"single v5e via remote tunnel; {m}-node tree from {n_leaves} "
-        f"synthetic leaves, 1080p, 26-frame orbit for stream rows")
+        f"synthetic leaves, 1080p, orbiting stream windows; every row = median of 3 in-process windows with recorded spread")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "LOD_r04.json"), "w") as f:
+    with open(os.path.join(root, "LOD_r05.json"), "w") as f:
         json.dump(record, f, indent=1)
 
 
