@@ -297,6 +297,7 @@ def create_with_scaffold(
     sh_degree: int = 3,
     n_exposures: int = 1,
     opacity_init: float = 0.01,
+    max_scaffold_rows: Optional[int] = None,
 ) -> GaussianState:
     """Chunk state conditioned on the trained coarse scaffold (reference
     create_from_pcd with scaffold_file, scene/gaussian_model.py:866-919):
@@ -309,6 +310,20 @@ def create_with_scaffold(
                                chunk_extent0, scaffold.n_skybox)
     sel &= np.asarray(scaffold.alive)
     rows = np.where(sel)[0]
+    if max_scaffold_rows is not None and len(rows) > max_scaffold_rows:
+        # Deviation for DENSE scaffolds: the reference conditions on every
+        # ring row (its coarse model is a sparse global scaffold, so the
+        # ring is small); when the scaffold is as dense as the chunks
+        # themselves the ring can exceed the chunk capacity. Keep all
+        # skybox rows and an even subsample of the rest — the ring only
+        # provides frozen boundary context, not trained content.
+        sky = rows[rows < scaffold.n_skybox]
+        rest = rows[rows >= scaffold.n_skybox]
+        keep = max(0, max_scaffold_rows - len(sky))
+        if keep < len(rest):
+            idx = np.linspace(0, len(rest) - 1, keep).astype(np.int64)
+            rest = rest[idx]
+        rows = np.concatenate([sky, rest])
     n_scaf = len(rows)
     n = points.shape[0]
     if n_scaf + n > capacity:

@@ -402,7 +402,12 @@ def run_pipeline(
             init_state = gm.create_with_scaffold(
                 ts_coarse.gaussians, chunk.center, float(chunk.extent[0]),
                 pts, cols, pcfg.chunk_capacity, sh_degree=mcfg.sh_degree,
-                n_exposures=_exposure_bucket(len(cams)))
+                n_exposures=_exposure_bucket(len(cams)),
+                # dense synthetic scaffolds can put more ring rows around a
+                # chunk than its whole capacity; cap with headroom for the
+                # chunk's own points (+pad), evenly subsampled
+                max_scaffold_rows=max(
+                    0, pcfg.chunk_capacity - len(pts) - 4096))
             ts_chunk = train_flat_scene(
                 cams, pts, cols, scene.extent, pcfg.chunk_iters,
                 pcfg.chunk_capacity, opt=opt, cfg=cfg, pcfg=pcfg,
