@@ -157,14 +157,20 @@ def main():
           f"{merged.nodes.shape[0]}", flush=True)
     assert merged.nodes.shape[0] >= 4_000_000, merged.nodes.shape
 
-    stages = {}
-    for line in open(mpath):
-        d = json.loads(line)
+    # gap-capped consecutive deltas attributed to the later entry's stage:
+    # min/max-ts spans are polluted by tunnel stalls / skip_if_exists
+    # resumes (the metrics file accumulates across runs)
+    entries = sorted((json.loads(l) for l in open(mpath)),
+                     key=lambda d: d["ts"])
+    stage_walls = {}
+    prev = None
+    for d in entries:
         s = d.get("stage", "?").split("(")[0].rstrip("0123456789")
-        lo, hi = stages.get(s, (d["ts"], d["ts"]))
-        stages[s] = (min(lo, d["ts"]), max(hi, d["ts"]))
-    stage_walls = {s: round(hi - lo, 1) for s, (lo, hi) in stages.items()}
-    print("stage walls:", stage_walls, flush=True)
+        if prev is not None and 0 <= d["ts"] - prev["ts"] <= 120:
+            stage_walls[s] = stage_walls.get(s, 0.0) + d["ts"] - prev["ts"]
+        prev = d
+    stage_walls = {s: round(v, 1) for s, v in stage_walls.items()}
+    print("stage walls (gap-capped):", stage_walls, flush=True)
 
     from hlod_gaussians_tpu.models.gaussians import NODE_DEPTH
     depth = int(merged.nodes[:, NODE_DEPTH].max())
@@ -222,6 +228,7 @@ def main():
                    + (" — resumed via skip_if_exists" if resumed else ""),
         pipeline_seconds=round(t_total, 1),
         stage_walls=stage_walls,
+        stage_walls_method="gap-capped consecutive deltas (120 s) per stage",
         merged_nodes=int(merged.nodes.shape[0]),
         max_tree_depth=depth,
         n_chunks=9,
