@@ -390,6 +390,16 @@ def _budget_bucket(want: int, min_budget: int, max_budget: int,
     return min(max(b, min_budget), max_budget, cap)
 
 
+@functools.partial(jax.jit, static_argnames=("use_frustum",))
+def _cut_count(boxes, nodes, means3d, scales, alive, campos, world_view,
+               target_size, pcache, *, use_frustum: bool):
+    """Cut-size program for render_lod_auto's bucket choice: one jitted
+    dispatch, one scalar back."""
+    cut = _compute_cut(None, boxes, nodes, means3d, scales, alive, campos,
+                       world_view, target_size, pcache, use_frustum)
+    return jnp.sum(cut.render_mask)
+
+
 def render_lod_auto(
     means3d, scales, quats, opacities, shs, nodes, alive,
     world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
@@ -427,44 +437,64 @@ def render_lod_auto(
 
     from hlod_gaussians_tpu.hierarchy import cut as cut_mod
 
-    cut = _compute_cut(None, boxes, nodes, means3d, scales, alive, campos,
-                       world_view, target_size, pcache, use_frustum)
-    n_sel = int(jnp.sum(cut.render_mask))
+    # the interp table is a pure function of (params, nodes): rebuilding
+    # it per frame gathers every parent row. With a persistent md_state
+    # (static-tree viewer/eval loops, the same assumption its capacity
+    # memory already makes) build it once and keep it there.
+    if interp_table is None and md_state is not None:
+        interp_table = md_state.get("itab")
+        if interp_table is None:
+            interp_table = cut_mod.build_interp_table(
+                dict(means3d=means3d, scales=scales, quats=quats,
+                     opacities=opacities, shs=shs), nodes)
+            md_state["itab"] = interp_table
+
+    # cut-count program: ONE jitted dispatch + one sync to choose the
+    # bucket. The frame itself then goes through the SAME whole-frame
+    # jitted programs as render_lod_stream (_stream_frame_masked/_budget),
+    # eliminating per-frame gathers/rebuilds/dispatch storms. What remains
+    # is auto's irreducible contract cost: this sync + the truncation
+    # check below — two blocking reads that each flush the dispatch queue
+    # on a remote-tunnel link (~30 ms each; measured floor table in
+    # docs/KERNEL_DESIGN.md r05). Loops that tolerate one-frame-lag
+    # regulation should use render_lod_stream. The cut is recomputed
+    # inside the frame program (jitted, ~3-6 ms with a pcache at 1M
+    # nodes) — cheaper than marshalling the CutResult through a second
+    # entry point.
+    n_sel = int(_cut_count(boxes, nodes, means3d, scales, alive, campos,
+                           world_view, target_size, pcache,
+                           use_frustum=use_frustum))
     budget = _budget_bucket(n_sel, min_budget, max_budget, means3d.shape[0])
     # dense cuts take the MASKED path, exactly as render_lod_stream's
     # regulation does: past ~1/4 of the tree the budget path's compaction
     # feature gather (latency-bound, ~42 ns/index) costs more than the
-    # masked lerp over all C rows — this was the 2x gap between the auto
-    # and stream rows in LOD_r04 (VERDICT r04 #7)
+    # masked lerp over all C rows.
     use_masked = 4 * budget >= means3d.shape[0]
     md = max(1 << 17, 4 * budget) if auto_max_dup else cfg.max_dup
     md_key = "masked" if use_masked else budget
     if md_state is not None:
         md = max(md, md_state.get(md_key, 0))
     while True:
+        cfg_f = dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup)) \
+            if auto_max_dup else cfg
         if use_masked:
-            out, n = render_lod_masked(
+            out, n, fb = _stream_frame_masked(
                 means3d, scales, quats, opacities, shs, nodes, alive,
                 world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-                target_size, boxes, pcache, cut, interp_table,
+                target_size, boxes, pcache, interp_table,
                 sh_degree=sh_degree, width=width, height=height,
-                n_skybox=n_skybox,
-                cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
-                if auto_max_dup else cfg,
-                k_max=k_max, antialiasing=antialiasing,
-                use_frustum=use_frustum)
+                n_skybox=n_skybox, cfg=cfg_f, k_max=k_max,
+                antialiasing=antialiasing, use_frustum=use_frustum)
         else:
-            out, n = render_lod(
+            out, n, fb = _stream_frame_budget(
                 means3d, scales, quats, opacities, shs, nodes, alive,
                 world_view, full_proj, campos, tan_fovx, tan_fovy, bg,
-                target_size, boxes, None, pcache, cut, interp_table,
+                target_size, boxes, pcache, interp_table,
                 sh_degree=sh_degree, width=width, height=height,
-                budget=budget, n_skybox=n_skybox,
-                cfg=dataclasses.replace(cfg, max_dup=min(md, cfg.max_dup))
-                if auto_max_dup else cfg,
-                k_max=k_max, antialiasing=antialiasing,
-                use_frustum=use_frustum)
-        if not auto_max_dup or md >= cfg.max_dup or not bool(out.truncated):
+                budget=budget, n_skybox=n_skybox, cfg=cfg_f, k_max=k_max,
+                antialiasing=antialiasing, use_frustum=use_frustum)
+        truncated = bool(fb[1])
+        if not auto_max_dup or md >= cfg.max_dup or not truncated:
             if md_state is not None:
                 md_state[md_key] = md
             return out, n

@@ -498,3 +498,42 @@ def test_lod_fidelity_monotone_small():
         else:
             assert abs(pa - pb) < 0.05, seq
     assert seq[0][0] - seq[-1][0] > 3.0, seq   # real spread, not noise
+
+
+def test_render_lod_auto_matches_budgeted():
+    """render_lod_auto (r05: whole-frame jitted via the stream-frame
+    programs + masked dispatch for dense cuts) must stay pixel-identical
+    to the plain budgeted path at full detail and produce sane coarse
+    frames, with md_state remembering capacities."""
+    n = 64
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 4.0
+    h = hb.build_hierarchy(
+        pts, np.full((n, 3), 0.05, np.float32),
+        np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        np.full(n, 0.8, np.float32),
+        rng.random((n, 1, 3)).astype(np.float32) - 0.5)
+    m = h.nodes.shape[0]
+    cam = cam_mod.make_camera(np.eye(3), np.zeros(3), 0.8, 0.8, 64, 64)
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=4096)
+    args = (jnp.asarray(h.pos), jnp.asarray(h.scale), jnp.asarray(h.quat),
+            jnp.asarray(np.clip(h.opacity, 0, 1)), jnp.asarray(h.sh),
+            jnp.asarray(h.nodes), jnp.ones(m, bool),
+            cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy, jnp.zeros(3))
+    md_state = {}
+    out_a, n_a = render_mod.render_lod_auto(
+        *args, jnp.float32(1e-9), sh_degree=0, width=64, height=64,
+        cfg=cfg, k_max=128, use_frustum=False, md_state=md_state)
+    out_b, n_b = render_mod.render_lod(
+        *args, 1e-9, sh_degree=0, width=64, height=64, budget=128,
+        cfg=cfg, k_max=128, use_frustum=False)
+    assert int(n_a) == int(n_b) == n
+    np.testing.assert_allclose(np.asarray(out_a.image),
+                               np.asarray(out_b.image), atol=1e-5)
+    out_c, n_c = render_mod.render_lod_auto(
+        *args, jnp.float32(0.03), sh_degree=0, width=64, height=64,
+        cfg=cfg, k_max=128, use_frustum=False, md_state=md_state)
+    assert 0 < int(n_c) < n
+    assert np.isfinite(np.asarray(out_c.image)).all()
