@@ -121,7 +121,7 @@ def main():
                   provenance="median of 3 consecutive 2x2 attempts, "
                              "taskset-pinned (1-core baseline vs 2 procs "
                              "x 2 cores), CPU + Gloo TCP transport")
-    out = os.path.join(REPO, "MULTIHOST_r04.json")
+    out = os.path.join(REPO, "MULTIHOST_r05.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
