@@ -112,10 +112,23 @@ def dhier_to_upstream(d: dhier_io.DHier) -> dhier_io.UpstreamHier:
 
     new_nodes = np.zeros((c, 7), np.int32)
     on = nodes[order]
-    new_nodes[:, U_DEPTH] = on[:, NODE_DEPTH]
     new_nodes[:, U_PARENT] = np.where(on[:, NODE_PARENT] >= 0,
                                       inv[np.clip(on[:, NODE_PARENT], 0, c - 1)],
                                       -1)
+    # upstream Node.depth is the SUBTREE HEIGHT (leaves 0, parent =
+    # max(children)+1 — PointbasedKdTreeGenerator.cpp:64), NOT the fork's
+    # depth-from-root: the reference consumers branch on it
+    # (HierarchyExplicitLoader::buildTreeRec reads depth>0 as "merged
+    # node", hierarchy_explicit_loader.cpp:73). Writing from-root depths
+    # here made reference tools misread our files (caught by the r05
+    # merger oracle).
+    height = np.zeros(c, np.int32)
+    par_new = new_nodes[:, U_PARENT]
+    for i in range(c - 1, 0, -1):
+        p = par_new[i]
+        if p >= 0 and height[p] < height[i] + 1:
+            height[p] = height[i] + 1
+    new_nodes[:, U_DEPTH] = height
     new_nodes[:, U_START] = np.arange(c, dtype=np.int32)
     is_leaf = on[:, NODE_CHILD_COUNT] == 0
     new_nodes[:, U_CLEAF] = is_leaf.astype(np.int32)
@@ -170,7 +183,15 @@ def upstream_to_fork(h: dhier_io.UpstreamHier
     nodes = np.asarray(h.nodes)
     c = nodes.shape[0]
     fork = np.full((c, 6), -1, np.int32)
-    fork[:, NODE_DEPTH] = nodes[:, U_DEPTH]
+    # stored upstream depth is the subtree HEIGHT (leaf=0); the fork table
+    # wants depth-from-root — recompute from parents (children follow
+    # their parent in both our BFS writer and the reference's preorder)
+    par_u = nodes[:, U_PARENT]
+    depth = np.zeros(c, np.int32)
+    for i in range(c):
+        if par_u[i] >= 0:
+            depth[i] = depth[par_u[i]] + 1
+    fork[:, NODE_DEPTH] = depth
     fork[:, NODE_PARENT] = nodes[:, U_PARENT]
     fork[:, NODE_CHILD_COUNT] = nodes[:, U_COUNTCH]
     fork[:, NODE_FIRST_CHILD] = np.where(nodes[:, U_COUNTCH] > 0,

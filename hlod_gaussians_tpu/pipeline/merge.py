@@ -69,11 +69,20 @@ def _splice_dropped(nodes: np.ndarray, keep: np.ndarray):
 def reweight_chunk(d: DHier, chunk_id: int, centers: np.ndarray,
                    falloff: float = 0.05) -> DHier:
     """Apply the opacity falloff to one chunk hierarchy, dropping weight-0
-    nodes and splicing their children upward."""
-    w = chunk_weight(d.pos, chunk_id, centers, falloff)
-    keep = w > 0.0
+    nodes and splicing their children upward.
+
+    The chunk ROOT gaussian is repositioned to the chunk center before
+    weighting, exactly as the reference loader does (loadExplicit sets
+    pos[0] = chunk_centers[chunk_id], hierarchy_explicit_loader.cpp:151)
+    — its weight becomes exactly 1 and the merged output carries the
+    center as the root's coarse-LOD proxy position. Oracle-anchored by
+    tests/test_oracle_parity.py::test_merger_falloff_matches_oracle."""
     root = int(np.where(d.nodes[:, NODE_PARENT] == -1)[0][0])
-    keep[root] = True  # the chunk root always survives as the graft point
+    pos = np.asarray(d.pos).copy()
+    pos[root] = centers[chunk_id]
+    w = chunk_weight(pos, chunk_id, centers, falloff)
+    keep = w > 0.0
+    assert keep[root]  # dist 0 -> weight exactly 1
 
     new_parent = _splice_dropped(d.nodes, keep)
 
@@ -94,7 +103,7 @@ def reweight_chunk(d: DHier, chunk_id: int, centers: np.ndarray,
 
     return DHier(
         sh_degree=d.sh_degree,
-        pos=d.pos[kept], quat=d.quat[kept], log_scale=d.log_scale[kept],
+        pos=pos[kept], quat=d.quat[kept], log_scale=d.log_scale[kept],
         opacity=(d.opacity * w)[kept].astype(np.float32),
         shs=d.shs[kept], nodes=nodes)
 

@@ -28,5 +28,7 @@ FLAGS="-O2 -std=c++17 -I$REF -I$EIG -I$REF/dependencies/glm"
 
 g++ $FLAGS -o "$OUT/creator" "$REF/mainHierarchyCreator.cpp" $COMMON_SRCS
 g++ $FLAGS -o "$OUT/fixture_gen" "$HERE/fixture_main.cpp" $COMMON_SRCS
+g++ $FLAGS -o "$OUT/merger_probe" "$HERE/merger_probe.cpp" \
+  $REF/hierarchy_explicit_loader.cpp $REF/hierarchy_loader.cpp
 
-echo "oracle built: $OUT/creator $OUT/fixture_gen"
+echo "oracle built: $OUT/creator $OUT/fixture_gen $OUT/merger_probe"

@@ -94,9 +94,54 @@ def main():
     subprocess.run([os.path.join(ORACLE, "fixture_gen"), ply, work],
                    check=True)
 
+    # ---- merger-falloff oracle (HierarchyExplicitLoader) ----------------
+    # three overlapping chunk hierarchies whose gaussians straddle the
+    # equidistance surfaces, written in the upstream .hier format through
+    # our converter, then loaded by the REFERENCE's explicit loader
+    # (getWeight falloff + weight-0 drop/splice + pos[0]-to-center)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from hlod_gaussians_tpu.data import dhier as dhier_io
+    from hlod_gaussians_tpu.hierarchy import build as hb
+    from hlod_gaussians_tpu.hierarchy.boxes import dhier_to_upstream
+
+    centers = np.array([[0, 0, 5], [2, 0, 5], [0, 2, 5]], np.float32)
+    merger_names = []
+    for k, c in enumerate(centers):
+        rng_k = np.random.default_rng(SEED + 100 + k)
+        n = 256
+        pts = (c + rng_k.normal(size=(n, 3)).astype(np.float32) * 1.2)
+        scales = np.exp(rng_k.normal(size=(n, 3)) * 0.3 - 2.8) \
+            .astype(np.float32)
+        quats = rng_k.normal(size=(n, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        ops = rng_k.uniform(0.1, 0.95, n).astype(np.float32)
+        shs = rng_k.normal(size=(n, 1, 3)).astype(np.float32) * 0.4
+        h = hb.build_hierarchy(pts, scales, quats, ops, shs)
+        d = dhier_io.DHier(
+            sh_degree=0, pos=h.pos, quat=h.quat,
+            log_scale=np.log(np.maximum(h.scale, 1e-12)).astype(np.float32),
+            opacity=np.clip(h.opacity, 1e-4, 2.0).astype(np.float32),
+            shs=h.sh.astype(np.float32), nodes=h.nodes)
+        cd = os.path.join(work, f"mchunk{k}")
+        os.makedirs(cd, exist_ok=True)
+        dhier_io.save_dhier(os.path.join(work, f"chunk{k}.dhier"), d)
+        dhier_io.save_hier(os.path.join(cd, "chunk.hier"),
+                           dhier_to_upstream(d), compressed=False)
+        with open(os.path.join(cd, "center.txt"), "w") as f:
+            f.write(f"{c[0]} {c[1]} {c[2]}\n")
+        merger_names.append(f"chunk{k}.dhier")
+    subprocess.run([os.path.join(ORACLE, "merger_probe"), work]
+                   + [os.path.join(work, f"mchunk{k}")
+                      for k in range(len(centers))], check=True)
+    merger_names += [f"merged_chunk{k}.bin" for k in range(len(centers))]
+    np.savetxt(os.path.join(work, "merger_centers.txt"), centers)
+    merger_names.append("merger_centers.txt")
+
     manifest = {"seed": SEED, "n_points": N, "sha256": {}}
     for name in ("input.ply", "hierarchy.dhier", "hierarchy.gdf",
-                 "oracle.hier", "oracle_c.hier", "oracle_arrays.bin"):
+                 "oracle.hier", "oracle_c.hier", "oracle_arrays.bin",
+                 *merger_names):
         src = os.path.join(work, name)
         manifest["sha256"][name] = gz(src, os.path.join(FIXDIR, name + ".gz"))
         print(f"{name}: {os.path.getsize(src)} bytes")

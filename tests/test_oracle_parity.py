@@ -448,3 +448,140 @@ def test_native_creator_matches_oracle(tmp_path, oracle_dhier, input_ply):
     scale_ref = np.maximum(np.abs(cov_o).max(axis=(1, 2)), 1e-8)
     rel = np.abs(cov_n - cov_o).max(axis=(1, 2)) / scale_ref
     assert rel.max() < 5e-3, rel.max()
+
+
+def test_hier_depth_semantics_and_conversion_vs_oracle(tmp_path, oracle_dhier):
+    """Upstream `.hier` Node.depth is the subtree HEIGHT (leaf = 0), not
+    the fork's depth-from-root — the reference loader branches on it
+    (buildTreeRec reads depth>0 as merged, hierarchy_explicit_loader.cpp:73).
+    The r05 converter fix is pinned against the reference-written file:
+    dhier_to_upstream must reproduce the oracle's stored depths and
+    upstream_to_fork must recover from-root depths."""
+    from hlod_gaussians_tpu.hierarchy.boxes import (dhier_to_upstream,
+                                                    upstream_to_fork)
+
+    d, _ = oracle_dhier
+    h = dhier_io.load_hier(_tmpfile(tmp_path, "o.hier", _read("oracle.hier")))
+
+    # match .hier nodes <-> .dhier nodes by exact position bits (both files
+    # were written from the same in-memory gaussians)
+    def key(p):
+        return p.astype("<f4").tobytes()
+
+    d_by_pos = {key(d.pos[i]): i for i in range(d.pos.shape[0])}
+    assert len(d_by_pos) == d.pos.shape[0]
+
+    # stored depth in the reference file = height: 0 exactly on leaves
+    is_leaf_h = h.nodes[:, 6] == 0          # count_children
+    assert (h.nodes[is_leaf_h, 0] == 0).all()
+    assert (h.nodes[~is_leaf_h, 0] > 0).all()
+
+    # node i's gaussian lives at pos[nodes[i].start] in the .hier layout
+    # (placeholder ids are assigned before the DFS fills the arrays)
+    fork_d, _ = upstream_to_fork(h)
+    for i in range(h.nodes.shape[0]):
+        j = d_by_pos[key(h.pos[h.nodes[i, 2]])]
+        assert fork_d.nodes[i, NODE_DEPTH] == d.nodes[j, NODE_DEPTH], i
+        assert h.nodes[i, 0] == _height_of(d.nodes, j), i
+
+    # our converter writes the same heights the reference wrote
+    up = dhier_to_upstream(d)
+    h_by_pos = {key(h.pos[h.nodes[i, 2]]): i for i in range(h.nodes.shape[0])}
+    for i in range(up.nodes.shape[0]):
+        j = h_by_pos[key(up.pos[up.nodes[i, 2]])]
+        assert up.nodes[i, 0] == h.nodes[j, 0], (i, j)
+
+
+def _height_of(nodes: np.ndarray, j: int, _cache={}):
+    """Subtree height of dhier node j (leaves 0), memoized per table id."""
+    ck = id(nodes)
+    if ck not in _cache:
+        n = nodes.shape[0]
+        height = np.zeros(n, np.int32)
+        for i in range(n - 1, 0, -1):
+            p = nodes[i, NODE_PARENT]
+            if p >= 0 and height[p] < height[i] + 1:
+                height[p] = height[i] + 1
+        _cache[ck] = height
+    return _cache[ck][j]
+
+
+# ---------------------------------------------------------------------------
+# merger falloff vs the reference HierarchyExplicitLoader
+# ---------------------------------------------------------------------------
+
+def _parse_merged_bin(raw: bytes):
+    import struct
+    p, n = struct.unpack_from("<ii", raw, 0)
+    off = 8
+
+    def take(dtype, shape):
+        nonlocal off
+        a = np.frombuffer(raw, dtype=dtype, count=int(np.prod(shape)),
+                          offset=off).reshape(shape)
+        off += a.nbytes
+        return a
+
+    pos = take("<f4", (p, 3))
+    rot = take("<f4", (p, 4))
+    scl = take("<f4", (p, 3))      # LINEAR
+    op = take("<f4", (p,))
+    shs = take("<f4", (p, 48))
+    nodes = take("<i4", (n, 7))
+    boxes = take("<f4", (n, 2, 4))
+    assert off == len(raw)
+    return pos, rot, scl, op, shs, nodes
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_merger_falloff_matches_oracle(tmp_path, k):
+    """pipeline/merge.py's falloff reweighting vs the REFERENCE
+    HierarchyExplicitLoader run on the same chunk hierarchies (fixtures
+    merged_chunk*.bin): identical kept sets, weighted opacities, the
+    root-to-center reposition, and the drop-splice tree structure."""
+    from hlod_gaussians_tpu.pipeline.merge import reweight_chunk
+
+    import io
+    centers = np.loadtxt(io.BytesIO(_read("merger_centers.txt"))) \
+        .astype(np.float32)
+    d = dhier_io.load_dhier(_tmpfile(tmp_path, "c.dhier",
+                                     _read(f"chunk{k}.dhier")))
+    o_pos, o_rot, o_scl, o_op, o_shs, o_nodes = _parse_merged_bin(
+        _read(f"merged_chunk{k}.bin"))
+
+    r = reweight_chunk(d, k, centers)
+
+    # same kept count and, matched by position bits, same weighted opacity
+    assert r.pos.shape[0] == o_pos.shape[0], (r.pos.shape, o_pos.shape)
+
+    def key(p):
+        return p.astype("<f4").tobytes()
+
+    mine = {key(r.pos[i]): i for i in range(r.pos.shape[0])}
+    assert len(mine) == r.pos.shape[0]
+    for i in range(o_pos.shape[0]):
+        assert key(o_pos[i]) in mine, i
+        j = mine[key(o_pos[i])]
+        # weight computed in f32 C vs f64-accumulated numpy norms:
+        # ~1e-5 relative spread on gaussians deep in the falloff band
+        np.testing.assert_allclose(o_op[i], r.opacity[j], rtol=3e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(o_scl[i], np.exp(r.log_scale[j]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(o_rot[i], r.quat[j])
+
+    # the root proxy sits at the chunk center on both sides
+    o_root_g = o_nodes[0, 2]                       # start
+    np.testing.assert_allclose(o_pos[o_root_g], centers[k], atol=1e-6)
+    my_root = int(np.where(r.nodes[:, NODE_PARENT] == -1)[0][0])
+    np.testing.assert_allclose(r.pos[my_root], centers[k], atol=1e-6)
+
+    # drop-splice structure: every oracle parent-child gaussian pair must
+    # be a parent-child pair here (matched through position bits)
+    o_par = o_nodes[:, 1]
+    for i in range(1, o_nodes.shape[0]):
+        gi = o_nodes[i, 2]
+        gp = o_nodes[o_par[i], 2]
+        a = mine[key(o_pos[gi])]
+        b = mine[key(o_pos[gp])]
+        assert r.nodes[a, NODE_PARENT] == b, (i, a, b)
