@@ -250,15 +250,41 @@ def expand_to_size_box(
     return CutResult(render_mask=mask, size=size, ts=ts, kids=kids)
 
 
+def node_heights(nodes: jnp.ndarray, alive: jnp.ndarray,
+                 max_depth: int = 64) -> jnp.ndarray:
+    """Subtree height per node (leaves 0, parent = max(children)+1 — the
+    reference's Node.depth semantics, PointbasedKdTreeGenerator.cpp:64).
+    Level-synchronous upward scatter-max sweeps; exact for trees up to
+    ``max_depth`` deep."""
+    c = nodes.shape[0]
+    parent = nodes[:, NODE_PARENT]
+    live = alive & (nodes[:, NODE_DEPTH] >= 0)
+    p_safe = jnp.where((parent >= 0) & live, parent, c)
+    height = jnp.zeros((c,), jnp.int32)
+    for _ in range(max_depth):
+        up = jnp.zeros((c,), jnp.int32).at[p_safe].max(height + 1,
+                                                       mode="drop")
+        height = jnp.maximum(height, up)
+    return height
+
+
 def expand_to_target(nodes: jnp.ndarray, alive: jnp.ndarray,
-                     target_depth: int) -> jnp.ndarray:
-    """Depth-target cut (reference expandToTarget, traversal.cpp:16-44 via
-    expand_to_target): nodes with depth == target, plus leaves shallower
-    than the target. Returns a [C] bool mask."""
-    depth = nodes[:, NODE_DEPTH]
-    is_leaf = nodes[:, NODE_CHILD_COUNT] == 0
-    sel = (depth == target_depth) | (is_leaf & (depth < target_depth))
-    return sel & alive & (depth >= 0)
+                     target: int, max_depth: int = 64) -> jnp.ndarray:
+    """HEIGHT-target cut (reference expandToTarget, traversal.cpp:16-44):
+    descend while the node's subtree height exceeds ``target``; the first
+    node at height <= target on each path is selected. target=0 is full
+    detail (all leaves); a target >= the root height selects just the
+    root. Oracle-anchored against the reference traversal
+    (tests/test_oracle_parity.py::test_expand_to_target_matches_oracle).
+    Returns a [C] bool mask. (The pre-r05 implementation cut at
+    DEPTH-FROM-ROOT == target — the reference semantics is the subtree
+    height, which adapts to unbalanced trees.)"""
+    c = nodes.shape[0]
+    parent = nodes[:, NODE_PARENT]
+    height = node_heights(nodes, alive, max_depth)
+    ph = height[jnp.clip(parent, 0, c - 1)]
+    sel = (height <= target) & ((parent < 0) | (ph > target))
+    return sel & alive & (nodes[:, NODE_DEPTH] >= 0)
 
 
 def bounding_sphere_divergence(

@@ -30,5 +30,7 @@ g++ $FLAGS -o "$OUT/creator" "$REF/mainHierarchyCreator.cpp" $COMMON_SRCS
 g++ $FLAGS -o "$OUT/fixture_gen" "$HERE/fixture_main.cpp" $COMMON_SRCS
 g++ $FLAGS -o "$OUT/merger_probe" "$HERE/merger_probe.cpp" \
   $REF/hierarchy_explicit_loader.cpp $REF/hierarchy_loader.cpp
+g++ $FLAGS -o "$OUT/traversal_probe" "$HERE/traversal_probe.cpp" \
+  $REF/traversal.cpp $REF/hierarchy_loader.cpp
 
 echo "oracle built: $OUT/creator $OUT/fixture_gen $OUT/merger_probe"

@@ -138,6 +138,12 @@ def main():
     np.savetxt(os.path.join(work, "merger_centers.txt"), centers)
     merger_names.append("merger_centers.txt")
 
+    # expandToTarget oracle over the creator hierarchy
+    subprocess.run([os.path.join(ORACLE, "traversal_probe"),
+                    os.path.join(work, "oracle.hier"),
+                    os.path.join(work, "traversal.bin")], check=True)
+    merger_names.append("traversal.bin")
+
     manifest = {"seed": SEED, "n_points": N, "sha256": {}}
     for name in ("input.ply", "hierarchy.dhier", "hierarchy.gdf",
                  "oracle.hier", "oracle_c.hier", "oracle_arrays.bin",

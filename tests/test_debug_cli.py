@@ -18,15 +18,25 @@ CFG = RasterizerConfig(tile_w=16, tile_h=16, max_dup=4096)
 
 
 def test_expand_to_target_levels():
+    """Reference expandToTarget semantics (r05 fix): HEIGHT cut — target 0
+    is full detail (all leaves), a target >= root height is just the
+    root."""
     st, m = hier_state(n=33, cap=128)
     nodes = np.asarray(st.nodes)
     for d in range(0, 7):
         mask = np.asarray(hc.expand_to_target(st.nodes, st.alive, d))
         assert bool(hc.is_hierarchy_cut(st.nodes, jnp.asarray(mask), st.alive))
-    # depth 0 -> root only
+    alive = np.asarray(st.alive)
+    leaves = (nodes[:, NODE_CHILD_COUNT] == 0) & alive
     m0 = np.asarray(hc.expand_to_target(st.nodes, st.alive, 0))
-    root = np.where((nodes[:, NODE_PARENT] == -1) & np.asarray(st.alive))[0]
-    assert m0.sum() == 1 and m0[root[0]]
+    np.testing.assert_array_equal(m0, leaves)
+    mtop = np.asarray(hc.expand_to_target(st.nodes, st.alive, 63))
+    root = np.where((nodes[:, NODE_PARENT] == -1) & alive)[0]
+    assert mtop.sum() == 1 and mtop[root[0]]
+    # cut size shrinks monotonically with the target
+    sizes = [int(np.asarray(hc.expand_to_target(st.nodes, st.alive, d)).sum())
+             for d in range(0, 8)]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:])), sizes
 
 
 def test_sanity_checker_accepts_and_rejects():
@@ -56,10 +66,14 @@ def test_bounding_sphere_divergence_nested_vs_not():
 def test_debug_renders():
     st, m = hier_state(n=33, cap=128, seed=1)
     cam = make_camera(np.eye(3), np.asarray([0, 0, 20.0]), 0.9, 0.9, 32, 32)
+    # reference expandToTarget semantics (r05): target 0 = all leaves,
+    # big target = root only
+    n_leaves = int(((np.asarray(st.nodes)[:, NODE_CHILD_COUNT] == 0)
+                    & np.asarray(st.alive)).sum())
     img, n0 = debug_mod.render_depth_slice(st, cam, 0, cfg=CFG, k_max=64)
-    assert img.shape == (3, 32, 32) and n0 == 1
-    img2, n2 = debug_mod.render_depth_slice(st, cam, 2, cfg=CFG, k_max=64)
-    assert n2 > n0
+    assert img.shape == (3, 32, 32) and n0 == n_leaves
+    img2, n2 = debug_mod.render_depth_slice(st, cam, 63, cfg=CFG, k_max=64)
+    assert n2 == 1
 
     counts = debug_mod.gaussians_per_limit(
         st, [0, 0, -20.0], [0, 0, 1.0], [1e-9, 0.01, 0.1])

@@ -585,3 +585,46 @@ def test_merger_falloff_matches_oracle(tmp_path, k):
         a = mine[key(o_pos[gi])]
         b = mine[key(o_pos[gp])]
         assert r.nodes[a, NODE_PARENT] == b, (i, a, b)
+
+
+def test_expand_to_target_matches_oracle(tmp_path, oracle_dhier):
+    """hierarchy/cut.py::expand_to_target vs the reference's CPU
+    Traversal::expandToTarget run on oracle.hier (fixture traversal.bin):
+    identical selected gaussian sets at every probed target. (The r05 fix:
+    the reference cut is by subtree HEIGHT, not depth-from-root.)"""
+    import struct
+
+    import jax.numpy as jnp
+
+    from hlod_gaussians_tpu.hierarchy import cut as hc
+
+    d, _ = oracle_dhier
+    h = dhier_io.load_hier(_tmpfile(tmp_path, "o.hier", _read("oracle.hier")))
+    raw = _read("traversal.bin")
+    (nt,) = struct.unpack_from("<i", raw, 0)
+    off = 4
+    cases = []
+    for _ in range(nt):
+        t, n = struct.unpack_from("<ii", raw, off)
+        off += 8
+        idx = np.frombuffer(raw, "<i4", count=n, offset=off)
+        off += 4 * n
+        cases.append((t, idx))
+    assert off == len(raw) and nt == 6
+
+    # map .hier gaussian indices -> dhier node ids via position bits
+    def key(p):
+        return p.astype("<f4").tobytes()
+
+    d_by_pos = {key(d.pos[i]): i for i in range(d.pos.shape[0])}
+    alive = jnp.ones((d.nodes.shape[0],), bool)
+    for t, idx in cases:
+        ref_sel = {d_by_pos[key(h.pos[i])] for i in idx}
+        mine = np.where(np.asarray(hc.expand_to_target(
+            jnp.asarray(d.nodes), alive, t)))[0]
+        assert set(mine.tolist()) == ref_sel, (t, len(mine), len(ref_sel))
+        # and it is a proper cut
+        mask = np.zeros(d.nodes.shape[0], bool)
+        mask[mine] = True
+        assert bool(hc.is_hierarchy_cut(jnp.asarray(d.nodes),
+                                        jnp.asarray(mask), alive))
