@@ -40,7 +40,13 @@ def morton_codes(points, lo=None, hi=None):
     if hi is None:
         hi = points.max(axis=0)
     scale = jnp.where(hi > lo, (hi - lo), 1.0)
-    q = ((points - lo) / scale * ((1 << 21) - 1)).clip(0, (1 << 21) - 1)
+    # reference quantization exactly (morton.cu:29-32): multiply by 2^21
+    # and TRUNCATE — a coordinate at the exact max maps to 2^21, whose set
+    # bit lies past the 21 interleaved bits and reads as 0 (the reference's
+    # overflow quirk, reproduced for order parity; it misplaces only the
+    # per-axis extreme points and is harmless for storage locality).
+    # Out-of-range inputs (caller-provided lo/hi) clamp to [0, 2^21].
+    q = ((points - lo) / scale * (1 << 21)).clip(0.0, float(1 << 21))
     # 64-bit ints are off by default on TPU, so build the 63-bit code as two
     # 32-bit words with a compile-time-unrolled interleave: bit i of axis a
     # lands at global position 3*i + a (positions 0..30 in lo, 31..62 in hi).

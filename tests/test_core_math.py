@@ -189,10 +189,15 @@ class TestMorton:
         assert d_consec < 0.5 * d_rand
 
     def test_axis_order(self):
-        # points along one axis sort monotonically
+        # points along one axis sort monotonically — EXCEPT the exact-max
+        # point, whose quantized coordinate hits 2^21 and wraps to code 0
+        # (the reference's truncation-overflow quirk, morton.cu:29-40,
+        # reproduced for order parity); it ties with point 0 and lands at
+        # the front of the order
         pts = jnp.stack([jnp.linspace(0, 1, 64), jnp.zeros(64), jnp.zeros(64)], axis=-1)
         perm = np.asarray(morton.morton_argsort(pts))
-        assert (perm == np.arange(64)).all()
+        assert set(perm[:2].tolist()) == {0, 63}
+        assert (perm[2:] == np.arange(1, 63)).all()
 
 
 class TestKNN:
@@ -216,3 +221,28 @@ class TestKNN:
         frac = np.mean(np.isclose(d, exact, rtol=1e-4))
         assert frac > 0.9
         assert (d <= exact * 4 + 1e-6).all()
+
+
+def test_morton_order_matches_reference_transcription():
+    """ops/morton.py vs a verbatim numpy transcription of the reference
+    getMortonCodeCUDA (morton.cu:8-45: normalize to the AABB, scale by
+    2^21, TRUNCATE to int64, interleave x->bit 3i, y->3i+1, z->3i+2).
+    The behavioral contract (sort_morton's ordering) must agree."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-5, 7, size=(4096, 3)).astype(np.float32)
+
+    mn = pts.min(axis=0)
+    mx = pts.max(axis=0)
+    box = mx - mn
+    p = ((pts - mn) / box * (1 << 21)).astype(np.float32)
+    pi = p.astype(np.int64)                      # C truncation semantics
+    code = np.zeros(pts.shape[0], np.int64)
+    for i in range(21):
+        code |= ((pi[:, 0] >> i) & 1) << (3 * i)
+        code |= ((pi[:, 1] >> i) & 1) << (3 * i + 1)
+        code |= ((pi[:, 2] >> i) & 1) << (3 * i + 2)
+    assert np.unique(code).size == code.size     # no ties: order well-defined
+
+    ref_order = np.argsort(code, kind="stable")
+    got_order = np.asarray(morton.morton_argsort(jnp.asarray(pts)))
+    np.testing.assert_array_equal(got_order, ref_order)
