@@ -225,18 +225,29 @@ def _lod_stream_metrics(_note, _left):
                 cfg=cfg, k_max=512, use_frustum=False)
             return o.image
 
-        _note(f"LOD stream tau{tau:g}: warm + 20 frames")
+        _note(f"LOD stream tau{tau:g}: warm + 3x20 frames")
         for i in range(6):
             img = frame(i)
         jax.block_until_ready(img)
-        n_frames = 20
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            img = frame(6 + i)
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / n_frames
-        out[key] = round(width * height / dt / 1e6, 2)
-        _note(f"tau{tau:g}: {out[key]} Mpix/s")
+        # median of 3 windows: the small tau15 workload is sensitive to
+        # one-off tunnel stalls (single windows measured 31-72 Mpix/s on
+        # the same build); the median is the stable quantity
+        n_frames, fidx = 20, 6
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                img = frame((fidx + i) % len(cams))
+            jax.block_until_ready(img)
+            fidx += n_frames
+            rates.append(width * height
+                         / ((time.perf_counter() - t0) / n_frames) / 1e6)
+            if _left() < 45.0:
+                break
+        rates.sort()
+        out[key] = round(rates[len(rates) // 2], 2)
+        _note(f"tau{tau:g}: {out[key]} Mpix/s (windows "
+              f"{[round(r, 1) for r in rates]})")
         if _left() < 60.0:
             break
     return out
