@@ -177,11 +177,17 @@ def _renum(on: np.ndarray, inv: np.ndarray, c: int) -> np.ndarray:
 def upstream_to_fork(h: dhier_io.UpstreamHier
                      ) -> Tuple[dhier_io.DHier, NodeBoxes]:
     """Loaded `.hier` -> fork node table + its boxes (for the box-metric
-    render path, render_hierarchy.py:58-66). Assumes one Gaussian per node
-    (start == node index), which both our writer and the reference merger
-    output satisfy for optimized hierarchies."""
+    render path, render_hierarchy.py:58-66). One Gaussian per node, but
+    the gaussian ARRAYS are indexed by each node's `start`, which is NOT
+    the node index in reference-creator files (placeholder node ids are
+    assigned before the DFS fills the arrays) — the parameters are
+    permuted so gaussian index == node index afterwards. (Pre-r05 this
+    assumed start == index and silently mis-assigned every parameter on
+    reference-written files; caught by the oracle render test.)"""
     nodes = np.asarray(h.nodes)
     c = nodes.shape[0]
+    start = nodes[:, U_START]
+    assert np.unique(start).size == c, "expected one gaussian per node"
     fork = np.full((c, 6), -1, np.int32)
     # stored upstream depth is the subtree HEIGHT (leaf=0); the fork table
     # wants depth-from-root — recompute from parents (children follow
@@ -207,7 +213,9 @@ def upstream_to_fork(h: dhier_io.UpstreamHier
     boxes = NodeBoxes(lo=np.asarray(h.boxes)[:, 0, :3].copy(),
                       hi=np.asarray(h.boxes)[:, 1, :3].copy(),
                       max_side=np.asarray(h.boxes)[:, 0, 3].copy())
-    d = dhier_io.DHier(sh_degree=3, pos=h.pos, quat=h.quat,
-                       log_scale=h.log_scale, opacity=h.opacity,
-                       shs=h.shs, nodes=fork)
+    d = dhier_io.DHier(sh_degree=3, pos=np.asarray(h.pos)[start],
+                       quat=np.asarray(h.quat)[start],
+                       log_scale=np.asarray(h.log_scale)[start],
+                       opacity=np.asarray(h.opacity)[start],
+                       shs=np.asarray(h.shs)[start], nodes=fork)
     return d, boxes

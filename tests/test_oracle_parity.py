@@ -628,3 +628,61 @@ def test_expand_to_target_matches_oracle(tmp_path, oracle_dhier):
         mask[mine] = True
         assert bool(hc.is_hierarchy_cut(jnp.asarray(d.nodes),
                                         jnp.asarray(mask), alive))
+
+
+def test_reference_hier_renders_through_box_eval_path(tmp_path, oracle_dhier):
+    """End-to-end interop: the REFERENCE-written .hier file ingested
+    through the production eval path (load_hier -> upstream_to_fork ->
+    box-metric tau cut -> LOD render) must render, with monotone cut
+    sizes over tau and near-identity to the .dhier dynamic path's full
+    detail. Exercises the r05 depth-semantics fix in the renderer-facing
+    chain."""
+    import jax.numpy as jnp
+
+    from hlod_gaussians_tpu import render as render_mod
+    from hlod_gaussians_tpu.config import RasterizerConfig
+    from hlod_gaussians_tpu.hierarchy import boxes as boxes_mod
+    from hlod_gaussians_tpu.utils.camera import make_camera
+
+    h = dhier_io.load_hier(_tmpfile(tmp_path, "o.hier", _read("oracle.hier")))
+    d, nb = boxes_mod.upstream_to_fork(h)
+    m = d.nodes.shape[0]
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.9, 128, 128)
+    cfg = RasterizerConfig(tile_w=16, tile_h=16, max_dup=1 << 16)
+    boxes = (jnp.asarray(nb.lo), jnp.asarray(nb.hi), jnp.asarray(nb.max_side))
+
+    def box_render(tau):
+        tgt = float(render_mod.tau_to_threshold(tau, float(cam.tan_fovx),
+                                                128))
+        out, n_sel = render_mod.render_lod(
+            jnp.asarray(d.pos), jnp.asarray(np.exp(d.log_scale)),
+            jnp.asarray(d.quat), jnp.asarray(np.clip(d.opacity, 0, 1)),
+            jnp.asarray(d.shs), jnp.asarray(d.nodes), jnp.ones(m, bool),
+            cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+            cam.tan_fovy, jnp.zeros(3), jnp.float32(max(tgt, 1e-9)),
+            boxes=boxes, sh_degree=0, width=128, height=128, budget=2048,
+            cfg=cfg, k_max=256, use_frustum=False)
+        return np.asarray(out.image), int(n_sel)
+
+    img0, n0 = box_render(0.0)
+    img6, n6 = box_render(6.0)
+    img15, n15 = box_render(15.0)
+    assert n0 > n6 > n15 > 0, (n0, n6, n15)
+    for img in (img0, img6, img15):
+        assert np.isfinite(img).all() and img.max() > 0.01
+
+    # full detail through the reference .hier ~= full detail through the
+    # reference .dhier (dynamic metric) — same leaves, same render
+    dd, _ = oracle_dhier
+    out_d, n_d = render_mod.render_lod(
+        jnp.asarray(dd.pos), jnp.asarray(np.exp(dd.log_scale)),
+        jnp.asarray(dd.quat), jnp.asarray(np.clip(dd.opacity, 0, 1)),
+        jnp.asarray(dd.shs), jnp.asarray(dd.nodes),
+        jnp.ones(dd.nodes.shape[0], bool),
+        cam.world_view, cam.full_proj, cam.campos, cam.tan_fovx,
+        cam.tan_fovy, jnp.zeros(3), 1e-9, sh_degree=0, width=128,
+        height=128, budget=2048, cfg=cfg, k_max=256, use_frustum=False)
+    assert n_d == n0 == 1024
+    mse = float(np.mean((img0 - np.asarray(out_d.image)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr
